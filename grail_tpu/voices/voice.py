@@ -1,0 +1,153 @@
+"""Voice model: Hz-authored spec -> compiled, normalized device tables.
+
+Reference: `Voice` + `VoiceStorage` (/root/reference/src/lib.rs:653-717) and
+the preset compiler behavior of `SynthesisElem::new_phoneme`
+(src/lib.rs:381-401): per-phoneme amplitude tables are normalized to unit
+gain, then all frequency-valued fields are converted from Hz to
+sample-rate-normalized units with Nyquist clamping (resample, src/lib.rs:418-440).
+
+A compiled Voice packs every sound phoneme's SynthesisElem into one
+[P, NUM_FORMANTS] table (a pytree leaf per field) plus a `defined` mask, so
+phoneme -> parameter lookup on device is a single gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import DEFAULT_SAMPLE_RATE, NUM_FORMANTS
+from ..synth.elem import SynthesisElem
+from ..text.phonemes import NUM_SOUND_PHONEMES, Phoneme, sound_index
+
+
+@dataclass(frozen=True)
+class PhonemeSpec:
+    """Hz-authored tables for one phoneme, in MKPHON argument order
+    (/root/reference/src/voices/mod.rs:7-14)."""
+
+    freq: Tuple[float, ...]    # formant frequencies, Hz
+    bw: Tuple[float, ...]      # formant bandwidths, Hz
+    smooth: Tuple[float, ...]  # lowpass cutoffs, Hz
+    turb: Tuple[float, ...]    # turbulence amounts, 0..1
+    breath: Tuple[float, ...]  # breathiness, 0..1
+    amp: Tuple[float, ...]     # relative amplitudes (normalized to unit gain)
+
+
+@dataclass(frozen=True)
+class VoiceSpec:
+    """A voice as authored: per-phoneme Hz tables + prosody/jitter params."""
+
+    name: str
+    phonemes: Dict[str, PhonemeSpec]
+    center_frequency_hz: float = 120.0
+    jitter_frequency_hz: float = 16.0
+    jitter_delta_frequency_hz: float = 6.0
+    jitter_delta_formant_frequency_hz: float = 6.0
+    jitter_delta_amplitude: float = 0.2
+    sample_rate: float = DEFAULT_SAMPLE_RATE
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Voice:
+    """Compiled voice. `table` has leading dim [NUM_SOUND_PHONEMES]."""
+
+    sample_rate: float
+    table: SynthesisElem          # [P, ...] normalized parameter table
+    defined: jnp.ndarray          # [P] bool: does this voice define the phoneme
+    center_frequency: float       # normalized
+    jitter_frequency: float       # normalized
+    jitter_delta_frequency: float
+    jitter_delta_formant_frequency: float
+    jitter_delta_amplitude: float
+    name: str = ""
+
+    def tree_flatten(self):
+        return (self.table, self.defined), (
+            self.sample_rate, self.center_frequency, self.jitter_frequency,
+            self.jitter_delta_frequency, self.jitter_delta_formant_frequency,
+            self.jitter_delta_amplitude, self.name)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        table, defined = children
+        (sr, cf, jf, jdf, jdff, jda, name) = aux
+        return cls(sr, table, defined, cf, jf, jdf, jdff, jda, name)
+
+    def get(self, phoneme: Phoneme):
+        """VoiceStorage::get (src/lib.rs:664-671): None for specials or
+        undefined phonemes, else the phoneme's SynthesisElem."""
+        p = int(phoneme)
+        if p < 3 or not bool(self.defined[sound_index(p)]):
+            return None
+        return self.table[sound_index(p)]
+
+    def resampled(self, new_sample_rate: float) -> "Voice":
+        """Retarget the voice to a different output sample rate
+        (reference resampling support, src/lib.rs:20-21, 418-440)."""
+        if new_sample_rate == self.sample_rate:
+            return self
+        r = self.sample_rate / new_sample_rate
+        return Voice(
+            sample_rate=new_sample_rate,
+            table=self.table.resample(self.sample_rate, new_sample_rate),
+            defined=self.defined,
+            center_frequency=min(self.center_frequency * r, 0.5),
+            jitter_frequency=self.jitter_frequency * r,
+            jitter_delta_frequency=self.jitter_delta_frequency * r,
+            jitter_delta_formant_frequency=self.jitter_delta_formant_frequency * r,
+            jitter_delta_amplitude=self.jitter_delta_amplitude,
+            name=self.name,
+        )
+
+
+def compile_voice(spec: VoiceSpec) -> Voice:
+    """Compile an Hz-authored VoiceSpec into normalized device tables."""
+    P = NUM_SOUND_PHONEMES
+    fields = {k: np.zeros((P, NUM_FORMANTS), np.float32)
+              for k in ("freq", "bw", "smooth", "turb", "breath", "amp")}
+    defined = np.zeros((P,), bool)
+    # benign defaults so undefined rows can't produce NaNs (freq>0 for k=bw/f)
+    fields["freq"][:] = 0.25 * spec.sample_rate
+    fields["bw"][:] = 0.25 * spec.sample_rate
+    fields["smooth"][:] = 0.25 * spec.sample_rate
+    fields["amp"][:] = 1.0  # unit-gain normalize keeps rows finite
+
+    for name, ph in spec.phonemes.items():
+        i = sound_index(Phoneme[name])
+        defined[i] = True
+        for k in fields:
+            v = np.asarray(getattr(ph, k), np.float32)
+            if v.shape != (NUM_FORMANTS,):
+                raise ValueError(f"{spec.name}/{name}/{k}: expected {NUM_FORMANTS} values")
+            fields[k][i] = v
+
+    table = SynthesisElem.new_phoneme(
+        formant_freq=fields["freq"], formant_bw=fields["bw"],
+        formant_smooth=fields["smooth"], formant_turb=fields["turb"],
+        formant_breath=fields["breath"], formant_amp=fields["amp"],
+    )
+    if spec.sample_rate != DEFAULT_SAMPLE_RATE:
+        # new_phoneme normalized to DEFAULT; re-target to the voice's rate
+        table = table.resample(DEFAULT_SAMPLE_RATE, spec.sample_rate)
+
+    sr = spec.sample_rate
+    return Voice(
+        sample_rate=sr,
+        table=table,
+        defined=jnp.asarray(defined),
+        center_frequency=spec.center_frequency_hz / sr,
+        jitter_frequency=spec.jitter_frequency_hz / sr,
+        jitter_delta_frequency=spec.jitter_delta_frequency_hz / sr,
+        jitter_delta_formant_frequency=spec.jitter_delta_formant_frequency_hz / sr,
+        jitter_delta_amplitude=spec.jitter_delta_amplitude,
+        name=spec.name,
+    )
+
+
+__all__ = ["PhonemeSpec", "VoiceSpec", "Voice", "compile_voice"]
