@@ -1,0 +1,201 @@
+"""High-level synthesis API: text -> audio.
+
+Mirrors the reference's canonical chain (examples/cli.rs:175-184):
+
+    chars.transcribe(lang).intonate(lang, voice).select(voice)
+         .sequence(voice).jitter(seed, voice).synthesize()
+
+but restructured TPU-first: the variable-length text frontend runs on the
+host and emits a fixed-shape parameter Score; everything after that is one
+jit-compiled device program (sequencer expansion + jitter + DSP core), cached
+per (num_elems, num_samples) shape bucket and batched with vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.constants import DEFAULT_SAMPLE_RATE
+from .languages import get_language
+from .synth.elem import SynthesisElem
+from .synth.jitter import JitterLattice, apply_jitter, build_lattice
+from .synth.score import Score, score_from_phoneme_elems, stack_scores
+from .synth.sequencer import expand_score
+from .synth.synthesize import synthesize_block, synthesize_scan
+from .text.intonate import intonate
+from .text.language import Language
+from .text.transcribe import transcribe
+from .voices import Voice, get_voice
+
+
+def _resolve_voice(voice) -> Voice:
+    return get_voice(voice) if isinstance(voice, str) else voice
+
+
+def _resolve_language(language) -> Language:
+    return get_language(language) if isinstance(language, str) else language
+
+
+def text_to_score(text: str, voice="generic", language="generic",
+                  contour: bool = False, speaking_rate: float = 1.0,
+                  pad_to: Optional[int] = None) -> Score:
+    """Host frontend: transcribe + intonate + select into a device Score."""
+    v = _resolve_voice(voice)
+    l = _resolve_language(language)
+    phonemes = transcribe(text, l)
+    pelems = intonate(phonemes, l, v, contour=contour, speaking_rate=speaking_rate)
+    return score_from_phoneme_elems(pelems, v, pad_to=pad_to)
+
+
+def _score_num_samples(score: Score, sample_rate: float) -> int:
+    """Replicates the device boundary math (f32 cumsum + floor) on host."""
+    C = np.cumsum(np.asarray(score.length, np.float32).reshape(-1)[-score.num_elems:])
+    # for batched scores callers pass per-row slices; this helper is 1-D only
+    return int(np.floor(np.float32(C[-1]) * np.float32(sample_rate)))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+BLOCK_SIZE = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("T", "use_scan"))
+def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
+               T: int, use_scan: bool = False):
+    """Fused blockwise pipeline for one utterance.
+
+    The top-level scan iterates time blocks; each step expands the score,
+    applies jitter, and synthesizes — so per-sample parameter arrays live
+    only block-sized in VMEM-adjacent working sets, never [T, ...] in HBM.
+    """
+    from .synth.synthesize import SynthState, _block_core
+
+    jf, jdf, jdff, jda = jparams
+    if use_scan:
+        elems, valid = expand_score(score, sample_rate, T)
+        elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda)
+        out, _ = synthesize_scan(elems)
+        return out * valid
+
+    nb = max(T // BLOCK_SIZE, 1)
+    blk = T // nb
+
+    def step(st, i):
+        off = i * blk
+        elems, valid = expand_score(score, sample_rate, blk, offset=off)
+        elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=off)
+        out, st = _block_core(elems, st)
+        return st, out * valid
+
+    _, outs = jax.lax.scan(step, SynthState.init(()), jnp.arange(nb))
+    return outs.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "use_scan"))
+def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rate,
+                     T: int, use_scan: bool = False):
+    """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T]."""
+    from .synth.synthesize import SynthState, _block_core
+
+    jf, jdf, jdff, jda = jparams
+    B = scores.length.shape[0]
+
+    if use_scan:
+        def expand_one(score, lattice):
+            elems, valid = expand_score(score, sample_rate, T)
+            return apply_jitter(elems, lattice, jf, jdf, jdff, jda), valid
+
+        elems, valid = jax.vmap(expand_one)(scores, lattices)
+        elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
+        out, _ = synthesize_scan(elems_tm)
+        return jnp.moveaxis(out, 0, 1) * valid
+
+    nb = max(T // BLOCK_SIZE, 1)
+    blk = T // nb
+
+    def step(st, i):
+        off = i * blk
+
+        def expand_one(score, lattice):
+            elems, valid = expand_score(score, sample_rate, blk, offset=off)
+            return apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=off), valid
+
+        elems, valid = jax.vmap(expand_one)(scores, lattices)  # [B, blk, ...]
+        elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
+        out, st = _block_core(elems_tm, st)                    # [blk, B]
+        return st, jnp.moveaxis(out, 0, 1) * valid             # [B, blk]
+
+    _, outs = jax.lax.scan(step, SynthState.init((B,)), jnp.arange(nb))
+    # outs: [nb, B, blk] -> [B, T]
+    return jnp.moveaxis(outs, 0, 1).reshape(B, nb * blk)
+
+
+def synthesize_score(score: Score, voice, seed: int = 0,
+                     sample_rate: Optional[float] = None,
+                     use_scan: bool = False,
+                     pad_samples_to: Optional[int] = None) -> np.ndarray:
+    """Synthesize one prepared Score to a float32 waveform."""
+    v = _resolve_voice(voice)
+    sr = float(sample_rate or v.sample_rate)
+    N = _score_num_samples(score, sr)
+    T = pad_samples_to or _round_up(max(N, 1), 4096)
+    lattice = build_lattice(seed, T, v.jitter_frequency)
+    jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
+               jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
+    out = _synth_jit(score, lattice, jparams, jnp.float32(sr), T, use_scan)
+    return np.asarray(out[:N], np.float32)
+
+
+def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
+               contour: bool = False, speaking_rate: float = 1.0,
+               sample_rate: Optional[float] = None,
+               use_scan: bool = False) -> np.ndarray:
+    """Text -> float32 waveform (the reference CLI chain, single utterance)."""
+    v = _resolve_voice(voice)
+    score = text_to_score(text, v, language, contour=contour, speaking_rate=speaking_rate)
+    return synthesize_score(score, v, seed=seed, sample_rate=sample_rate, use_scan=use_scan)
+
+
+def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
+                     seeds: Optional[Sequence[int]] = None,
+                     contour: bool = False, speaking_rate: float = 1.0,
+                     sample_rate: Optional[float] = None,
+                     use_scan: bool = False) -> List[np.ndarray]:
+    """Batched synthesis: one device program over [B] utterances.
+
+    All utterances pad to shared (E, T); per-utterance outputs are sliced
+    back to their true lengths.
+    """
+    v = _resolve_voice(voice)
+    sr = float(sample_rate or v.sample_rate)
+    seeds = list(seeds) if seeds is not None else [0] * len(texts)
+
+    scores_raw = [text_to_score(t, v, language, contour=contour,
+                                speaking_rate=speaking_rate) for t in texts]
+    E = max(s.num_elems for s in scores_raw)
+    scores = [s if s.num_elems == E else text_to_score(
+        t, v, language, contour=contour, speaking_rate=speaking_rate, pad_to=E)
+        for s, t in zip(scores_raw, texts)]
+    Ns = [_score_num_samples(s, sr) for s in scores]
+    T = _round_up(max(max(Ns), 1), 4096)
+
+    lattices = [build_lattice(sd, T, v.jitter_frequency) for sd in seeds]
+    lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
+    batched = stack_scores(scores)
+    jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
+               jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
+    out = np.asarray(_synth_jit_batch(batched, lattices, jparams, jnp.float32(sr), T, use_scan))
+    return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]
+
+
+__all__ = [
+    "text_to_score", "synthesize_score", "synthesize", "synthesize_batch",
+]

@@ -1,0 +1,104 @@
+"""Command-line interface.
+
+Flag surface mirrors the reference CLI (examples/cli.rs:73-124):
+  -h/--help, -V/--version, -v/--voice, -o/--output, -l/--language,
+  -r/--resample, -i/--input, -s/--silent
+with one deliberate upgrade: -v/-l/-r are actually wired into the pipeline
+(the reference parses but ignores them — examples/cli.rs:84,175-184 hardcode
+the generic voice/language). Prints the reference's timing line
+("X seconds of audio, generated in Y microseconds", examples/cli.rs:186-193).
+
+Playback (cpal in the reference) is out of scope in a headless TPU
+environment; -o writes a WAV instead, and -s is accepted for compatibility.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from . import __version__
+from .api import synthesize
+from .core.constants import DEFAULT_SAMPLE_RATE
+from .languages import language_names
+from .runtime.wav import save_wav
+from .voices import voice_names
+
+
+def _has_argument(args, short, long):
+    return short in args or long in args
+
+
+def _find_argument(args, short, long):
+    for i in range(len(args) - 1):
+        if args[i] in (short, long):
+            return args[i + 1]
+    return None
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+
+    if _has_argument(args, "-h", "--help") or not args:
+        print("Grail-TPU, a TPU-native speech synthesizer")
+        print("The last argument is interpreted as text to be spoken")
+        print("So 'grail -v bob hello' will say 'hello'. -v is to set the voice, bob in this case")
+        print("Flags:")
+        print("-v or --voice is to set the voice")
+        print("-o or --output to set the output file path")
+        print("-l or --language sets the language ruleset")
+        print("-r or --resample to change the sample rate")
+        print("-i or --input to read from a file")
+        print("-s or --silent to not play back any sound")
+        print("-c or --contour to enable the intonation contour")
+        print("-V or --version to display the version")
+        print("Voices:")
+        for n in voice_names():
+            print(f"  {n}")
+        print("Languages:")
+        for n in language_names():
+            print(f"  {n}")
+        return 0
+
+    if _has_argument(args, "-V", "--version"):
+        print(f"Grail-TPU version {__version__}")
+        return 0
+
+    voice = _find_argument(args, "-v", "--voice") or "generic"
+    language = _find_argument(args, "-l", "--language") or "generic"
+    output_file = _find_argument(args, "-o", "--output") or ""
+    resample = _find_argument(args, "-r", "--resample")
+    input_file = _find_argument(args, "-i", "--input")
+    contour = _has_argument(args, "-c", "--contour")
+
+    if input_file:
+        try:
+            with open(input_file) as f:
+                to_say = f.read()
+        except OSError:
+            print(f'Could not open file "{input_file}"')
+            return 1
+    else:
+        to_say = args[-1]
+
+    sample_rate = float(resample) if resample else DEFAULT_SAMPLE_RATE
+
+    print(f'"{to_say}"')
+    print(f" -- {voice}")
+
+    start = time.perf_counter()
+    audio = synthesize(to_say, voice=voice, language=language,
+                       sample_rate=sample_rate, contour=contour)
+    duration_us = int((time.perf_counter() - start) * 1e6)
+
+    print(f"{len(audio) / sample_rate:.2f} seconds of audio, "
+          f"generated in {duration_us} microseconds")
+
+    if output_file:
+        print(f"Writing generated sound to {output_file}")
+        save_wav(output_file, audio, int(sample_rate))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Score: the fixed-shape, device-friendly utterance representation.
+
+The reference streams SequenceElems one at a time through a pull-based state
+machine. On TPU we instead materialize the whole utterance as a *parameter
+score*: one SynthesisElem table row per timed element plus lengths/blend
+lengths/sound flags. The score has static shape (padded with zero-length
+elements), so everything downstream of the host text frontend is jit-compiled
+with fixed shapes.
+
+Corresponds to: Selector output stream (reference src/lib.rs:978-1022) and
+SequenceElem (src/lib.rs:813-835).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import NUM_FORMANTS
+from ..text.intonate import PhonemeElem
+from ..text.phonemes import NUM_SPECIALS, is_sound, sound_index
+from .elem import SynthesisElem
+
+
+class Score(NamedTuple):
+    """Timed synthesis-element sequence. Leading dims: [..., E]."""
+
+    elem: SynthesisElem       # [..., E, (8)] element params (freq stamped)
+    has_sound: jnp.ndarray    # [..., E] bool — False = silence/stop/undefined
+    length: jnp.ndarray       # [..., E] seconds (0 = padding)
+    blend_length: jnp.ndarray  # [..., E] seconds
+
+    @property
+    def num_elems(self):
+        return self.length.shape[-1]
+
+    def total_seconds(self):
+        return jnp.sum(self.length, axis=-1)
+
+
+def score_from_phoneme_elems(
+    phoneme_elems: Sequence[PhonemeElem],
+    voice,
+    pad_to: int | None = None,
+) -> Score:
+    """Host-side Selector: phoneme stream -> Score (reference src/lib.rs:987-1006).
+
+    Looks up each phoneme's SynthesisElem in the voice table, stamps the
+    intonator's frequency (copy_with_frequency semantics incl. the 0.5
+    Nyquist clamp), and marks specials/undefined phonemes as silent.
+    """
+    E = len(phoneme_elems)
+    Epad = max(pad_to or E, E, 1)
+
+    table = voice.table  # SynthesisElem [P, ...]
+    defined = np.asarray(voice.defined)
+
+    idx = np.zeros(E, np.int32)
+    has_sound = np.zeros(Epad, bool)
+    freq = np.zeros(Epad, np.float32)
+    length = np.zeros(Epad, np.float32)
+    blend = np.full(Epad, 1.0, np.float32)  # avoid 0/0 in padding
+
+    for i, pe in enumerate(phoneme_elems):
+        p = int(pe.phoneme)
+        snd = is_sound(p) and bool(defined[sound_index(p)])
+        idx[i] = sound_index(p) if is_sound(p) else 0
+        has_sound[i] = snd
+        freq[i] = min(np.float32(pe.frequency), np.float32(0.5))
+        length[i] = pe.length
+        blend[i] = pe.blend_length if pe.blend_length > 0 else 1.0
+
+    # pure numpy on the host path: no eager device ops, no per-call compiles
+    gathered = SynthesisElem(*(np.asarray(f)[idx] for f in table))
+    if Epad > E:
+        padq = np.full((Epad - E, NUM_FORMANTS), 0.25, np.float32)
+        padz = np.zeros((Epad - E, NUM_FORMANTS), np.float32)
+        pad = SynthesisElem(np.full(Epad - E, 0.25, np.float32),
+                            padq, padq, padq, padz, padz, padz)
+        gathered = SynthesisElem(*(np.concatenate([g, p], axis=0)
+                                   for g, p in zip(gathered, pad)))
+    gathered = gathered._replace(frequency=freq)
+
+    return Score(
+        elem=gathered,
+        has_sound=has_sound,
+        length=length,
+        blend_length=blend,
+    )
+
+
+def stack_scores(scores: Sequence[Score]) -> Score:
+    """Stack single-utterance scores (same E) into a batched [B, E] score."""
+    elems = SynthesisElem(*(np.stack([np.asarray(f) for f in fs])
+                            for fs in zip(*(s.elem for s in scores))))
+    return Score(
+        elem=elems,
+        has_sound=np.stack([np.asarray(s.has_sound) for s in scores]),
+        length=np.stack([np.asarray(s.length) for s in scores]),
+        blend_length=np.stack([np.asarray(s.blend_length) for s in scores]),
+    )
+
+
+__all__ = ["Score", "score_from_phoneme_elems", "stack_scores"]

@@ -106,6 +106,41 @@ class Voice:
         )
 
 
+def _np_resample(e: SynthesisElem, old_sr: float, new_sr: float) -> SynthesisElem:
+    """Numpy mirror of SynthesisElem.resample (reference src/lib.rs:418-440).
+
+    Host-side voice compilation stays pure numpy: eager jnp ops would each
+    trigger a fresh XLA compile for a few dozen scalars.
+    """
+    scale = np.float32(old_sr / new_sr)
+    scaled_ff = (e.formant_freq * scale).astype(np.float32)
+    return SynthesisElem(
+        frequency=np.minimum(e.frequency * scale, np.float32(0.5)).astype(np.float32),
+        formant_freq=np.minimum(scaled_ff, np.float32(0.5)).astype(np.float32),
+        formant_bw=(e.formant_bw * scale).astype(np.float32),
+        formant_smooth=(e.formant_smooth * scale).astype(np.float32),
+        formant_breath=np.asarray(e.formant_breath, np.float32),
+        formant_turb=np.asarray(e.formant_turb, np.float32),
+        formant_amp=np.where(scaled_ff > 0.5, np.float32(0), e.formant_amp).astype(np.float32),
+    )
+
+
+def _np_new_phoneme(freq, bw, smooth, turb, breath, amp) -> SynthesisElem:
+    """Numpy mirror of SynthesisElem.new_phoneme (src/lib.rs:381-401)."""
+    amp = np.asarray(amp, np.float32)
+    amp = (amp / amp.sum(axis=-1, keepdims=True, dtype=np.float32)).astype(np.float32)
+    e = SynthesisElem(
+        frequency=np.zeros(amp.shape[:-1], np.float32),
+        formant_freq=np.asarray(freq, np.float32),
+        formant_bw=np.asarray(bw, np.float32),
+        formant_smooth=np.asarray(smooth, np.float32),
+        formant_breath=np.asarray(breath, np.float32),
+        formant_turb=np.asarray(turb, np.float32),
+        formant_amp=amp,
+    )
+    return _np_resample(e, 1.0, DEFAULT_SAMPLE_RATE)
+
+
 def compile_voice(spec: VoiceSpec) -> Voice:
     """Compile an Hz-authored VoiceSpec into normalized device tables."""
     P = NUM_SOUND_PHONEMES
@@ -127,20 +162,24 @@ def compile_voice(spec: VoiceSpec) -> Voice:
                 raise ValueError(f"{spec.name}/{name}/{k}: expected {NUM_FORMANTS} values")
             fields[k][i] = v
 
-    table = SynthesisElem.new_phoneme(
-        formant_freq=fields["freq"], formant_bw=fields["bw"],
-        formant_smooth=fields["smooth"], formant_turb=fields["turb"],
-        formant_breath=fields["breath"], formant_amp=fields["amp"],
+    table = _np_new_phoneme(
+        freq=fields["freq"], bw=fields["bw"], smooth=fields["smooth"],
+        turb=fields["turb"], breath=fields["breath"], amp=fields["amp"],
     )
     if spec.sample_rate != DEFAULT_SAMPLE_RATE:
         # new_phoneme normalized to DEFAULT; re-target to the voice's rate
-        table = table.resample(DEFAULT_SAMPLE_RATE, spec.sample_rate)
+        table = _np_resample(table, DEFAULT_SAMPLE_RATE, spec.sample_rate)
 
     sr = spec.sample_rate
+    from ..synth.jitter import MAX_JITTER_INC
+    if spec.jitter_frequency_hz / sr > MAX_JITTER_INC:
+        raise ValueError(
+            f"voice {spec.name!r}: jitter_frequency {spec.jitter_frequency_hz} Hz "
+            f"exceeds the supported bound {MAX_JITTER_INC * sr:.0f} Hz")
     return Voice(
         sample_rate=sr,
         table=table,
-        defined=jnp.asarray(defined),
+        defined=defined,
         center_frequency=spec.center_frequency_hz / sr,
         jitter_frequency=spec.jitter_frequency_hz / sr,
         jitter_delta_frequency=spec.jitter_delta_frequency_hz / sr,

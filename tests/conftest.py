@@ -7,9 +7,14 @@ XLA's host-platform device simulation. Must run before jax is imported.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the axon TPU plugin ignores JAX_PLATFORMS; the config knob does work
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

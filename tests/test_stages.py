@@ -1,0 +1,183 @@
+"""Per-stage equivalence: vectorized device stages vs the sequential oracle.
+
+Each fast-path stage (closed-form sequencer, closed-form jitter, blocked
+synthesis core) is validated in isolation against the corresponding oracle
+state machine, which is a line-by-line port of the reference iterators.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grail_tpu import languages
+from grail_tpu.oracle import reference as orc
+from grail_tpu.synth.elem import SynthesisElem
+from grail_tpu.synth.jitter import apply_jitter, build_lattice
+from grail_tpu.synth.score import score_from_phoneme_elems
+from grail_tpu.synth.sequencer import expand_score
+from grail_tpu.synth.synthesize import SynthState, synthesize_block, synthesize_scan
+from grail_tpu.text.intonate import PhonemeElem
+from grail_tpu.text.phonemes import Phoneme
+from grail_tpu.voices import get_voice
+from grail_tpu.voices.preset_generic import SPEC
+
+SR = 44100.0
+
+
+@pytest.fixture(scope="module")
+def voice():
+    return get_voice("generic")
+
+
+@pytest.fixture(scope="module")
+def np_voice():
+    return orc.NpVoice.from_spec(SPEC)
+
+
+def _pelems():
+    # varied lengths/blends incl. leading + interior silence and tail
+    return [
+        PhonemeElem(Phoneme.SILENCE, 0.12, 0.05, 120.0 / SR),
+        PhonemeElem(Phoneme.A, 0.3, 0.1, 120.0 / SR),
+        PhonemeElem(Phoneme.E, 0.22, 0.08, 135.0 / SR),
+        PhonemeElem(Phoneme.SILENCE, 0.15, 0.06, 120.0 / SR),
+        PhonemeElem(Phoneme.A, 0.25, 0.12, 110.0 / SR),
+    ]
+
+
+def test_sequencer_matches_oracle(voice, np_voice):
+    pelems = _pelems()
+    score = score_from_phoneme_elems(pelems, voice)
+    seq = orc.oracle_select(pelems, np_voice)
+    gold = list(orc.oracle_sequence(seq, SR))
+    N = len(gold)
+
+    elems, valid = jax.jit(lambda s: expand_score(s, SR, 47104))(score)
+    nv = int(np.asarray(valid).sum())
+    assert abs(nv - N) <= 8
+
+    # The reference's f32 countdown accumulates ~1e-5 s of drift, which
+    # shifts the crossfade ramp sub-sample-ly; absolute differences stay
+    # ~1e-3 * field scale. Semantic bugs would show up as O(0.1) differences.
+    # isolated boundary samples may land one sample off (the oracle's f32
+    # countdown drift); everything else must match to float precision
+    got_freq = np.asarray(elems.frequency)[:N]
+    gold_freq = np.array([g.frequency for g in gold], np.float32)
+    dfreq = np.abs(got_freq - gold_freq)
+    assert (dfreq > 2e-4).sum() <= 5
+    assert np.median(dfreq) < 1e-6
+
+    for field in ("formant_freq", "formant_amp", "formant_breath", "formant_turb"):
+        got = np.asarray(getattr(elems, field))[:N]
+        goldf = np.stack([getattr(g, field) for g in gold])
+        d = np.abs(got - goldf).max(axis=-1)
+        # element-switch samples may land one sample off; fade-tail samples
+        # (alpha near 1) see the sub-sample ramp drift amplified
+        assert (d > 3e-3).sum() <= 5, field
+        assert np.median(d) < 1e-5, field
+        assert (d > 1e-3).mean() < 0.02, field
+
+
+def test_jitter_matches_oracle(voice, np_voice):
+    T = 20000
+    const = orc.NpElem.silent()
+    const.formant_amp = np.full(8, 0.125, np.float32)
+    stream = (const.copy() for _ in range(T))
+    gold = list(orc.oracle_jitter(stream, 42, np_voice))
+
+    elems = SynthesisElem.silent((T,))
+    elems = elems._replace(formant_amp=jnp.full((T, 8), 0.125, jnp.float32))
+    lat = build_lattice(42, T, voice.jitter_frequency)
+    got = jax.jit(lambda e, l: apply_jitter(
+        e, l, voice.jitter_frequency, voice.jitter_delta_frequency,
+        voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))(elems, lat)
+
+    gold_f = np.array([g.frequency for g in gold])
+    got_f = np.asarray(got.frequency)
+    # value-noise phase drift can shift lattice wraps by a few samples;
+    # the noise is continuous so compare values directly with small tolerance
+    assert np.abs(gold_f - got_f).max() < 2e-4 * np_voice.jitter_delta_frequency / np_voice.jitter_frequency + 1e-6
+
+    gold_a = np.stack([g.formant_amp for g in gold])
+    got_a = np.asarray(got.formant_amp)
+    assert np.abs(gold_a - got_a).max() < 1e-3
+
+
+def test_synth_core_matches_oracle(np_voice):
+    # random-ish but fixed parameter stream through both cores
+    T = 4096
+    rng = np.random.default_rng(0)
+    e = SynthesisElem(
+        frequency=jnp.asarray(np.full(T, 120.0 / SR, np.float32)),
+        formant_freq=jnp.asarray(0.02 + 0.05 * rng.random((T, 8), np.float32).astype(np.float32)),
+        formant_bw=jnp.asarray(np.full((T, 8), 100.0 / SR, np.float32)),
+        formant_smooth=jnp.asarray(np.full((T, 8), 1600.0 / SR, np.float32)),
+        formant_breath=jnp.asarray(np.full((T, 8), 0.3, np.float32)),
+        formant_turb=jnp.asarray(np.full((T, 8), 0.2, np.float32)),
+        formant_amp=jnp.asarray(np.full((T, 8), 0.125, np.float32)),
+    )
+    gold_elems = [
+        orc.NpElem(np.float32(120.0 / SR),
+                   *(np.asarray(f[i], np.float32) for f in (
+                       e.formant_freq, e.formant_bw, e.formant_smooth,
+                       e.formant_breath, e.formant_turb, e.formant_amp)))
+        for i in range(T)
+    ]
+    gold = orc.oracle_synthesize(gold_elems)
+
+    out_scan, _ = jax.jit(synthesize_scan)(e)
+    out_blk, _ = jax.jit(synthesize_block)(e)
+    from grail_tpu.utils import sample_error_db
+    assert sample_error_db(np.asarray(out_scan), gold) < -80
+    # per-sample-random formant freqs are far harsher than real speech for
+    # scan reassociation; real pipelines measure ~-65 dB spectral
+    assert sample_error_db(np.asarray(out_blk), gold) < -55
+
+
+def test_block_state_continuity():
+    # one 8192 block == two 4096 halves with carried state
+    T = 8192
+    rng = np.random.default_rng(1)
+    e = SynthesisElem(
+        frequency=jnp.asarray(np.full(T, 0.003, np.float32)),
+        formant_freq=jnp.asarray(np.full((T, 8), 0.05, np.float32)),
+        formant_bw=jnp.asarray(np.full((T, 8), 0.002, np.float32)),
+        formant_smooth=jnp.asarray(np.full((T, 8), 0.036, np.float32)),
+        formant_breath=jnp.asarray(rng.random((T, 8)).astype(np.float32)),
+        formant_turb=jnp.asarray(np.full((T, 8), 0.1, np.float32)),
+        formant_amp=jnp.asarray(np.full((T, 8), 0.125, np.float32)),
+    )
+    full, st_full = jax.jit(lambda x: synthesize_block(x, block_size=8192))(e)
+    e1 = SynthesisElem(*(f[:4096] for f in e))
+    e2 = SynthesisElem(*(f[4096:] for f in e))
+    h1, st = jax.jit(synthesize_block)(e1)
+    h2, st2 = jax.jit(synthesize_block)(e2, st)
+    halves = np.concatenate([np.asarray(h1), np.asarray(h2)])
+    np.testing.assert_allclose(halves, np.asarray(full), atol=2e-5)
+    # carried state matches too
+    for a, b in zip(st_full, st2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_batched_core_matches_unbatched():
+    T, B = 4096, 3
+    rng = np.random.default_rng(2)
+    freqs = np.stack([np.full(T, f, np.float32) for f in (0.002, 0.003, 0.004)], axis=1)
+    e = SynthesisElem(
+        frequency=jnp.asarray(freqs),
+        formant_freq=jnp.asarray(np.broadcast_to(
+            0.02 + 0.04 * rng.random((1, B, 8)), (T, B, 8)).astype(np.float32)),
+        formant_bw=jnp.asarray(np.full((T, B, 8), 0.002, np.float32)),
+        formant_smooth=jnp.asarray(np.full((T, B, 8), 0.036, np.float32)),
+        formant_breath=jnp.asarray(np.full((T, B, 8), 0.4, np.float32)),
+        formant_turb=jnp.asarray(np.full((T, B, 8), 0.15, np.float32)),
+        formant_amp=jnp.asarray(np.full((T, B, 8), 0.125, np.float32)),
+    )
+    out_b, _ = jax.jit(synthesize_block)(e)
+    for b in range(B):
+        eb = SynthesisElem(*(f[:, b] for f in e))
+        out_1, _ = jax.jit(synthesize_block)(eb)
+        np.testing.assert_allclose(np.asarray(out_b)[:, b], np.asarray(out_1),
+                                   atol=2e-5)
