@@ -7,6 +7,9 @@ at 64-way voice/utterance batch -> vs_baseline = value / 1000.
 
 The reference publishes no numbers; its CLI self-times the same quantity
 (seconds-of-audio vs generation wall-time, examples/cli.rs:186-193).
+
+NOTE: on the axon platform block_until_ready() does not synchronize, so the
+timing loop forces a scalar device->host fetch per iteration.
 """
 
 import json
@@ -19,49 +22,56 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    import os
+
     import jax
 
-    from grail_tpu.api import _round_up, _score_num_samples, _synth_jit_batch, text_to_score
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from grail_tpu.api import (_round_up, _score_num_samples, _synth_jit_batch,
+                               default_backend, text_to_score)
     from grail_tpu.synth.jitter import JitterLattice, build_lattice
+    from grail_tpu.synth.kernel import LANE
     from grail_tpu.synth.score import stack_scores
     from grail_tpu.voices import get_voice
-    import jax.numpy as jnp
 
     B = 64
     texts = [("aeae" * 4)[: 8 + (i % 8)] for i in range(B)]  # ~4-8 s each
     voice = get_voice("generic")
     sr = float(voice.sample_rate)
+    backend = default_backend()
 
-    scores_raw = [text_to_score(t) for t in texts]
-    E = max(s.num_elems for s in scores_raw)
-    scores = [text_to_score(t, pad_to=E) for t in texts]
-    Ns = [_score_num_samples(s, sr) for s in scores]
+    E = max(text_to_score(t).num_elems for t in texts)
+    Bp = _round_up(B, LANE) if backend.startswith("pallas") else B
+    scores = [text_to_score(texts[i % B], pad_to=E) for i in range(Bp)]
+    Ns = [_score_num_samples(s, sr) for s in scores[:B]]
     T = _round_up(max(Ns), 4096)
 
-    lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(B)]
+    lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(Bp)]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
-    batched = stack_scores(scores)
+    batched = jax.device_put(stack_scores(scores))
+    lattices = jax.device_put(lattices)
     jparams = (jnp.float32(voice.jitter_frequency),
                jnp.float32(voice.jitter_delta_frequency),
                jnp.float32(voice.jitter_delta_formant_frequency),
                jnp.float32(voice.jitter_delta_amplitude))
     srj = jnp.float32(sr)
 
-    # device-resident inputs
-    batched = jax.device_put(batched)
-    lattices = jax.device_put(lattices)
+    out = _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+    _ = float(np.asarray(out[0, 0]))  # compile + real sync
 
-    out = _synth_jit_batch(batched, lattices, jparams, srj, T, False)
-    out.block_until_ready()  # compile + warm
+    times = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+        _ = float(np.asarray(out[0, 0]))  # forces the full computation
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = _synth_jit_batch(batched, lattices, jparams, srj, T, False)
-    out.block_until_ready()
-    wall = (time.perf_counter() - t0) / iters
-
-    audio_seconds = sum(Ns) / sr
+    audio_seconds = sum(Ns) / sr  # the 64 real utterances
     realtime = audio_seconds / wall
 
     print(json.dumps({

@@ -99,16 +99,21 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
     return outs.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "use_scan"))
+@functools.partial(jax.jit, static_argnames=("T", "backend"))
 def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rate,
-                     T: int, use_scan: bool = False):
-    """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T]."""
+                     T: int, backend: str = "xla"):
+    """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T].
+
+    backend: 'pallas' (fused TPU kernel), 'pallas_interpret' (same kernel,
+    interpreter mode — CPU testing), 'xla' (associative-scan core), or
+    'scan' (lax.scan reference core).
+    """
     from .synth.synthesize import SynthState, _block_core
 
     jf, jdf, jdff, jda = jparams
     B = scores.length.shape[0]
 
-    if use_scan:
+    if backend == "scan":
         def expand_one(score, lattice):
             elems, valid = expand_score(score, sample_rate, T)
             return apply_jitter(elems, lattice, jf, jdf, jdff, jda), valid
@@ -118,6 +123,7 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
         out, _ = synthesize_scan(elems_tm)
         return jnp.moveaxis(out, 0, 1) * valid
 
+    use_pallas = backend.startswith("pallas")
     nb = max(T // BLOCK_SIZE, 1)
     blk = T // nb
 
@@ -130,7 +136,14 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
         elems, valid = jax.vmap(expand_one)(scores, lattices)  # [B, blk, ...]
         elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
-        out, st = _block_core(elems_tm, st)                    # [blk, B]
+        if use_pallas:
+            from .synth.kernel import pack_params, synth_core_pallas
+
+            params = pack_params(elems_tm)                     # [blk, 56, B]
+            out, st = synth_core_pallas(params, st,
+                                        interpret=backend == "pallas_interpret")
+        else:
+            out, st = _block_core(elems_tm, st)                # [blk, B]
         return st, jnp.moveaxis(out, 0, 1) * valid             # [B, blk]
 
     _, outs = jax.lax.scan(step, SynthState.init((B,)), jnp.arange(nb))
@@ -164,19 +177,33 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
     return synthesize_score(score, v, seed=seed, sample_rate=sample_rate, use_scan=use_scan)
 
 
+def default_backend() -> str:
+    """'pallas' on real TPU hardware, 'xla' elsewhere."""
+    import jax
+
+    try:
+        return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    except Exception:
+        return "xla"
+
+
 def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                      seeds: Optional[Sequence[int]] = None,
                      contour: bool = False, speaking_rate: float = 1.0,
                      sample_rate: Optional[float] = None,
-                     use_scan: bool = False) -> List[np.ndarray]:
+                     use_scan: bool = False,
+                     backend: Optional[str] = None) -> List[np.ndarray]:
     """Batched synthesis: one device program over [B] utterances.
 
     All utterances pad to shared (E, T); per-utterance outputs are sliced
-    back to their true lengths.
+    back to their true lengths. backend: 'pallas' | 'xla' | 'scan' |
+    'pallas_interpret' (None = auto: pallas on TPU, xla otherwise).
     """
     v = _resolve_voice(voice)
     sr = float(sample_rate or v.sample_rate)
     seeds = list(seeds) if seeds is not None else [0] * len(texts)
+    if backend is None:
+        backend = "scan" if use_scan else default_backend()
 
     scores_raw = [text_to_score(t, v, language, contour=contour,
                                 speaking_rate=speaking_rate) for t in texts]
@@ -187,12 +214,22 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     Ns = [_score_num_samples(s, sr) for s in scores]
     T = _round_up(max(max(Ns), 1), 4096)
 
+    B = len(scores)
+    Bp = B
+    if backend.startswith("pallas"):
+        from .synth.kernel import LANE
+
+        Bp = _round_up(B, LANE)
+        scores = scores + [scores[0]] * (Bp - B)   # lane padding rows
+        seeds = seeds + [0] * (Bp - B)
+
     lattices = [build_lattice(sd, T, v.jitter_frequency) for sd in seeds]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
     batched = stack_scores(scores)
     jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
                jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
-    out = np.asarray(_synth_jit_batch(batched, lattices, jparams, jnp.float32(sr), T, use_scan))
+    out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
+                                      jnp.float32(sr), T, backend))
     return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]
 
 

@@ -1,0 +1,124 @@
+"""ctypes bindings to the native host runtime (native/grail_native.cpp).
+
+The native tier provides the variable-length host-side components —
+transcription and PCM encoding — as a C++ shared library, mirroring the
+reference's all-native host pipeline. Gracefully degrades to the pure-Python
+implementations when the library isn't built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..text.language import Language
+from ..text.phonemes import Phoneme
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libgrail_native.so"),
+]
+
+_lib = None
+_load_attempted = False
+
+
+def _load():
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    for p in _LIB_PATHS:
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+                lib.gn_ruleset_new.restype = ctypes.c_void_p
+                lib.gn_ruleset_new.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+                lib.gn_ruleset_free.argtypes = [ctypes.c_void_p]
+                lib.gn_transcribe.restype = ctypes.c_int32
+                lib.gn_transcribe.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+                lib.gn_encode_wav.restype = ctypes.c_int64
+                lib.gn_encode_wav.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+                _lib = lib
+            except OSError:
+                _lib = None
+            break
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeRuleset:
+    """Compiled native ruleset handle for a Language."""
+
+    def __init__(self, language: Language):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not built (run `make -C native`)")
+        self._lib = lib
+        rules = language.rules
+        strings = (ctypes.c_char_p * len(rules))(
+            *[r.string.encode() for r in rules])
+        flat: List[int] = []
+        offsets = [0]
+        for r in rules:
+            flat.extend(int(p) for p in r.phonemes)
+            offsets.append(len(flat))
+        flat_arr = (ctypes.c_int32 * max(len(flat), 1))(*flat)
+        off_arr = (ctypes.c_int32 * len(offsets))(*offsets)
+        self._strings_keepalive = strings
+        self._handle = lib.gn_ruleset_new(strings, flat_arr, off_arr, len(rules))
+        self.case_sensitive = language.case_sensitive
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.gn_ruleset_free(self._handle)
+            self._handle = None
+
+    def transcribe(self, text: str) -> List[Phoneme]:
+        data = text.encode()
+        cap = 4 * max(len(data), 1) + 16
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.gn_transcribe(self._handle, data, len(data),
+                                    1 if self.case_sensitive else 0, out, cap)
+        return [Phoneme(out[i]) for i in range(n)]
+
+
+_ruleset_cache: dict = {}
+
+
+def native_transcribe(text: str, language: Language) -> Optional[List[Phoneme]]:
+    """Native transcription, or None if the library isn't available."""
+    if not available():
+        return None
+    key = id(language)
+    rs = _ruleset_cache.get(key)
+    if rs is None:
+        rs = _ruleset_cache[key] = NativeRuleset(language)
+    return rs.transcribe(text)
+
+
+def native_encode_wav(data: np.ndarray, sample_rate: int) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.float32)
+    out = (ctypes.c_uint8 * (44 + 2 * len(data)))()
+    n = lib.gn_encode_wav(data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          len(data), int(sample_rate), out)
+    return bytes(out[:n])
+
+
+__all__ = ["available", "NativeRuleset", "native_transcribe", "native_encode_wav"]

@@ -1,0 +1,225 @@
+"""Streaming synthesis session — the interactive.rs capability, TPU-style.
+
+The reference's streaming example (examples/interactive.rs) wires stdin
+chars into the lazy pipeline and lets the audio callback pull samples; idle
+input injects ' ' which transcribes to Silence, so the stream never starves.
+
+Here the same contract is block-structured: `feed(text)` runs the host
+frontend incrementally and appends timed elements to a rolling score;
+`read(n)` synthesizes the next n samples with all DSP state (sequencer
+position, jitter lattice continuation, carrier phase, filter states, RNG)
+carried across calls — the streaming analogue of the reference's iterator
+state (src/lib.rs:470-488). Latency is the block size (e.g. 1024 samples =
+23 ms), throughput is the jit-compiled block pipeline.
+
+The rolling score is rebased (consumed elements dropped) so jit shapes stay
+in a small set of E buckets and sessions can run unboundedly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import LEHMER_A, NUM_FORMANTS
+from ..core.rng import np_random_f32_from_state
+from ..synth.elem import SynthesisElem
+from ..synth.jitter import JitterLattice
+from ..synth.score import Score, score_from_phoneme_elems
+from ..synth.sequencer import expand_score
+from ..synth.synthesize import SynthState, synthesize_block
+from ..text.intonate import PhonemeElem, intonate
+from ..text.phonemes import Phoneme
+from ..text.transcribe import transcribe_chars
+from ..voices import Voice, get_voice
+from ..languages import get_language
+
+
+class _IncrementalLattice:
+    """Value-noise lattices grown on demand (unbounded sessions).
+
+    Holds the three Lehmer continuation states exactly as the reference's
+    noise generators do (see synth/jitter.py docstring for the layout)."""
+
+    def __init__(self, seed: int):
+        from ..core.rng import NpLehmer
+
+        rng = NpLehmer(seed)
+        p0, p1 = rng.next_f32(), rng.next_f32()
+        self._pitch_state = NpLehmer(rng.state)
+        f = np.zeros((2, NUM_FORMANTS), np.float32)
+        for j in range(NUM_FORMANTS):
+            f[0, j] = rng.next_f32()
+            f[1, j] = rng.next_f32()
+        self._formant_state = NpLehmer(rng.state)
+        a = np.zeros((2, NUM_FORMANTS), np.float32)
+        for j in range(NUM_FORMANTS):
+            a[0, j] = rng.next_f32()
+            a[1, j] = rng.next_f32()
+        self._amp_state = NpLehmer(rng.state)
+
+        self.pitch = np.array([p0, p1], np.float32)
+        self.formant = f
+        self.amp = a
+
+    def ensure(self, cells: int) -> None:
+        while len(self.pitch) < cells:
+            self.pitch = np.append(self.pitch, self._pitch_state.next_f32())
+        while len(self.formant) < cells:
+            row = np.array([self._formant_state.next_f32()
+                            for _ in range(NUM_FORMANTS)], np.float32)
+            self.formant = np.vstack([self.formant, row])
+        while len(self.amp) < cells:
+            row = np.array([self._amp_state.next_f32()
+                            for _ in range(NUM_FORMANTS)], np.float32)
+            self.amp = np.vstack([self.amp, row])
+
+    def window(self) -> JitterLattice:
+        return JitterLattice(self.pitch, self.formant, self.amp)
+
+
+def _bucket(n: int) -> int:
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _stream_block(score: Score, lattice: JitterLattice, jparams, sample_rate,
+                  offset, jitter_offset, state: SynthState, block: int):
+    from ..synth.jitter import apply_jitter
+
+    jf, jdf, jdff, jda = jparams
+    elems, valid = expand_score(score, sample_rate, block, offset=offset)
+    elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=jitter_offset)
+    out, state = synthesize_block(elems, state, block_size=block)
+    return out, state
+
+
+class StreamSession:
+    """Incremental text -> audio session with carried DSP state."""
+
+    def __init__(self, voice="generic", language="generic", seed: int = 0,
+                 block: int = 1024, contour: bool = False,
+                 speaking_rate: float = 1.0):
+        self.voice: Voice = get_voice(voice) if isinstance(voice, str) else voice
+        self.language = get_language(language) if isinstance(language, str) else language
+        self.block = int(block)
+        self.contour = contour
+        self.speaking_rate = speaking_rate
+        self.sample_rate = float(self.voice.sample_rate)
+
+        self._elements: List[PhonemeElem] = []
+        self._consumed_samples = 0   # samples consumed within current score
+        self._jitter_pos = 0         # absolute sample counter (jitter phase)
+        self._state = SynthState.init(())
+        self._lattice = _IncrementalLattice(seed)
+        self._pending_chars: List[str] = []
+
+    # -- frontend ----------------------------------------------------------
+
+    def feed(self, text: str) -> None:
+        """Append text; transcription is greedy so a trailing partial match
+        waits for more characters (buffered like the reference Peekable)."""
+        self._pending_chars.extend(text)
+        # transcribe all buffered chars; trailing prefix may emit silence at
+        # EOF in the raw automaton, so keep a small holdback of the longest
+        # rule length and only flush it on flush()/silence()
+        hold = max((len(r.string) for r in self.language.rules), default=1)
+        chars = self._pending_chars
+        if len(chars) <= hold:
+            return
+        head, tail = chars[:-hold], chars[-hold:]
+        phonemes = list(transcribe_chars("".join(head), self.language))
+        self._pending_chars = tail
+        self._append_phonemes(phonemes)
+
+    def flush(self) -> None:
+        """Force-transcribe any held-back characters."""
+        if self._pending_chars:
+            phonemes = list(transcribe_chars("".join(self._pending_chars), self.language))
+            self._pending_chars = []
+            self._append_phonemes(phonemes)
+
+    def _append_phonemes(self, phonemes) -> None:
+        if not phonemes:
+            return
+        pelems = intonate(phonemes, self.language, self.voice,
+                          contour=self.contour, speaking_rate=self.speaking_rate)
+        self._elements.extend(pelems)
+
+    def _ensure_audio_horizon(self, samples_needed: int) -> None:
+        """Idle behavior: extend with Silence elements (the reference's
+        repeat_with(' ') -> Silence path) until the score covers the read."""
+        def total_samples():
+            C = np.cumsum(np.float32([e.length for e in self._elements])) \
+                if self._elements else np.zeros(1, np.float32)
+            return int(np.floor(np.float32(C[-1]) * np.float32(self.sample_rate)))
+
+        while total_samples() - self._consumed_samples < samples_needed:
+            self._elements.append(
+                PhonemeElem(Phoneme.SILENCE, 0.5, 0.5, self.voice.center_frequency))
+
+    def _rebase(self) -> None:
+        """Drop fully-consumed elements to keep the jit score bucket small."""
+        if not self._elements:
+            return
+        lengths = np.float32([e.length for e in self._elements])
+        n = np.floor(np.cumsum(lengths) * np.float32(self.sample_rate)).astype(np.int64)
+        # keep one consumed element of margin (its params blend into the next)
+        drop = int(np.searchsorted(n, self._consumed_samples, side="right"))
+        drop = max(0, drop - 1)
+        if drop > 8:
+            self._elements = self._elements[drop:]
+            self._consumed_samples -= int(n[drop - 1])
+
+    # -- audio -------------------------------------------------------------
+
+    def read(self, num_samples: Optional[int] = None) -> np.ndarray:
+        """Synthesize the next `num_samples` (default one block)."""
+        n = int(num_samples or self.block)
+        out = np.empty(n, np.float32)
+        done = 0
+        while done < n:
+            take = min(self.block, n - done)
+            out[done:done + take] = self._read_block()[:take]
+            done += take
+        return out
+
+    def _read_block(self) -> np.ndarray:
+        blk = self.block
+        self._ensure_audio_horizon(blk)
+        self._rebase()
+
+        E = _bucket(len(self._elements))
+        score = score_from_phoneme_elems(self._elements, self.voice, pad_to=E)
+
+        inc = self.voice.jitter_frequency
+        cells = int(np.floor((self._jitter_pos + blk + 1) * inc)) + 4
+        self._lattice.ensure(_bucket(cells))
+        lattice = self._lattice.window()
+
+        jparams = (jnp.float32(inc), jnp.float32(self.voice.jitter_delta_frequency),
+                   jnp.float32(self.voice.jitter_delta_formant_frequency),
+                   jnp.float32(self.voice.jitter_delta_amplitude))
+        out, self._state = _stream_block(
+            score, lattice, jparams, jnp.float32(self.sample_rate),
+            jnp.int32(self._consumed_samples), jnp.int32(self._jitter_pos),
+            self._state, blk)
+        self._consumed_samples += blk
+        self._jitter_pos += blk
+        return np.asarray(out, np.float32)
+
+    @property
+    def pending_seconds(self) -> float:
+        lengths = np.float32([e.length for e in self._elements])
+        total = float(lengths.sum()) if len(lengths) else 0.0
+        return max(0.0, total - self._consumed_samples / self.sample_rate)
+
+
+__all__ = ["StreamSession"]

@@ -32,8 +32,13 @@ def encode_wav(data: np.ndarray, sample_rate: int) -> bytes:
 
 
 def save_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
+    from .native import native_encode_wav
+
+    payload = native_encode_wav(np.asarray(data, np.float32), sample_rate)
+    if payload is None:
+        payload = encode_wav(data, sample_rate)
     with open(path, "wb") as f:
-        f.write(encode_wav(data, sample_rate))
+        f.write(payload)
 
 
 def load_wav(path: str):

@@ -113,7 +113,8 @@ def transcribe_chars(chars: Iterable[str], language: Language) -> Iterator[Phone
         yield from buffer
 
 
-def transcribe(text: str, language: Language, leading_silence: bool = True) -> List[Phoneme]:
+def transcribe(text: str, language: Language, leading_silence: bool = True,
+               prefer_native: bool = True) -> List[Phoneme]:
     """Transcribe a whole string to a phoneme list.
 
     `leading_silence=True` matches the reference's public pipeline: its
@@ -121,9 +122,19 @@ def transcribe(text: str, language: Language, leading_silence: bool = True) -> L
     (src/lib.rs:1197-1204), so every utterance starts with one SILENCE
     phoneme. The raw automaton (reference unit tests construct the
     Transcriber with an empty buffer) is `transcribe_chars`.
+
+    Uses the native C++ transcriber (native/grail_native.cpp, identical
+    automaton) when built; falls back to the Python implementation.
     """
     out = [Phoneme.SILENCE] if leading_silence else []
-    out.extend(transcribe_chars(text, language))
+    result = None
+    if prefer_native and text.isascii():
+        from ..runtime.native import native_transcribe
+
+        result = native_transcribe(text, language)
+    if result is None:
+        result = list(transcribe_chars(text, language))
+    out.extend(result)
     return out
 
 

@@ -1,0 +1,168 @@
+// grail_tpu native host runtime: transcriber + WAV encoder.
+//
+// The reference implements its whole host pipeline natively (no_std Rust);
+// in this framework the device path is JAX/Pallas and the host-side
+// variable-length text frontend + PCM encoding are the native tier. The
+// transcriber reproduces the exact automaton of the reference
+// (/root/reference/src/lib.rs:1098-1207): incremental binary-search range
+// narrowing over a sorted ruleset (Rust partition_point probe order),
+// greedy longest-prefix match, silence on dead ends, no backtracking.
+//
+// C ABI only (consumed via ctypes). Build: `make -C native`.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Ruleset {
+    std::vector<std::string> strings;              // sorted
+    std::vector<std::vector<int32_t>> phonemes;
+};
+
+// Rust <[T]>::partition_point probe order on [lo, hi).
+template <typename Pred>
+int64_t partition_point(int64_t lo, int64_t hi, Pred pred) {
+    int64_t left = lo, right = hi;
+    while (left < right) {
+        int64_t mid = (left + right) / 2;
+        if (pred(mid)) left = mid + 1; else right = mid;
+    }
+    return left;
+}
+
+inline int nth_char(const std::string& s, size_t i) {
+    return i < s.size() ? static_cast<unsigned char>(s[i]) : -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opaque ruleset handle ------------------------------------------------------
+
+void* gn_ruleset_new(const char* const* strings, const int32_t* phonemes_flat,
+                     const int32_t* phoneme_offsets, int32_t n_rules) {
+    auto* rs = new Ruleset();
+    rs->strings.reserve(n_rules);
+    rs->phonemes.reserve(n_rules);
+    for (int32_t i = 0; i < n_rules; ++i) {
+        rs->strings.emplace_back(strings[i]);
+        rs->phonemes.emplace_back(phonemes_flat + phoneme_offsets[i],
+                                  phonemes_flat + phoneme_offsets[i + 1]);
+    }
+    return rs;
+}
+
+void gn_ruleset_free(void* handle) { delete static_cast<Ruleset*>(handle); }
+
+// Transcription --------------------------------------------------------------
+//
+// Returns the number of phonemes written (<= out_cap); sets *consumed to the
+// number of input bytes consumed. ASCII-oriented like the reference's
+// to_ascii_lowercase path (non-ASCII bytes are treated as opaque symbols).
+
+int32_t gn_transcribe(void* handle, const char* text, int32_t text_len,
+                      int32_t case_sensitive, int32_t* out, int32_t out_cap) {
+    const Ruleset& rs = *static_cast<const Ruleset*>(handle);
+    const int64_t n_rules = static_cast<int64_t>(rs.strings.size());
+    int32_t n_out = 0;
+    int64_t pos = 0;
+
+    auto peek = [&](int64_t p) -> int {
+        if (p >= text_len) return -1;
+        unsigned char c = text[p];
+        if (!case_sensitive && c < 0x80 && c >= 'A' && c <= 'Z') c += 32;
+        return c;
+    };
+    auto emit = [&](const std::vector<int32_t>& ph) {
+        for (int32_t v : ph) { if (n_out < out_cap) out[n_out++] = v; }
+    };
+    static const std::vector<int32_t> kSilence = {0};
+
+    if (n_rules == 0) {
+        while (pos < text_len) { emit(kSilence); ++pos; }
+        return n_out;
+    }
+
+    while (true) {
+        int64_t search_min = 0, search_max = n_rules;
+        size_t index = 0;
+        const std::vector<int32_t>* buffer = nullptr;
+        while (buffer == nullptr) {
+            int c = peek(pos);
+            if (c < 0) return n_out;  // end of input at loop top -> done
+
+            int64_t new_min = partition_point(search_min, search_max, [&](int64_t m) {
+                int ch = nth_char(rs.strings[m], index);
+                return ch < 0 ? true : ch < c;
+            });
+            int64_t new_max = partition_point(search_min, search_max, [&](int64_t m) {
+                int ch = nth_char(rs.strings[m], index);
+                return ch < 0 ? false : ch <= c;
+            });
+
+            if (new_min >= new_max && rs.strings[search_min].size() == index) {
+                buffer = &rs.phonemes[search_min];           // exact-prefix rule
+            } else if (new_min >= new_max) {
+                buffer = &kSilence;                           // dead end
+                ++pos;                                        // consume garbage
+            } else {
+                search_min = new_min;
+                search_max = new_max;
+                ++index;
+                ++pos;
+                if (peek(pos) < 0 && rs.strings[search_min].size() == index) {
+                    buffer = &rs.phonemes[search_min];        // final exact match
+                } else if (peek(pos) < 0) {
+                    buffer = &kSilence;                       // dangling prefix
+                }
+            }
+        }
+        emit(*buffer);
+    }
+}
+
+// WAV encoding ---------------------------------------------------------------
+//
+// 16-bit mono PCM with the reference's `(x * i16::MAX) as i16` truncation
+// semantics (examples/cli.rs:28-67). out must hold 44 + 2*n bytes.
+
+int64_t gn_encode_wav(const float* data, int64_t n, int32_t sample_rate,
+                      uint8_t* out) {
+    const uint32_t payload = static_cast<uint32_t>(n * 2);
+    auto put_u32 = [&](int64_t off, uint32_t v) {
+        out[off] = v & 0xFF; out[off + 1] = (v >> 8) & 0xFF;
+        out[off + 2] = (v >> 16) & 0xFF; out[off + 3] = (v >> 24) & 0xFF;
+    };
+    auto put_u16 = [&](int64_t off, uint16_t v) {
+        out[off] = v & 0xFF; out[off + 1] = (v >> 8) & 0xFF;
+    };
+    std::memcpy(out, "RIFF", 4);
+    put_u32(4, 36 + payload);
+    std::memcpy(out + 8, "WAVE", 4);
+    std::memcpy(out + 12, "fmt ", 4);
+    put_u32(16, 16);
+    put_u16(20, 1);
+    put_u16(22, 1);
+    put_u32(24, static_cast<uint32_t>(sample_rate));
+    put_u32(28, static_cast<uint32_t>(sample_rate) * 2);
+    put_u16(32, 2);
+    put_u16(34, 16);
+    std::memcpy(out + 36, "data", 4);
+    put_u32(40, payload);
+    for (int64_t i = 0; i < n; ++i) {
+        float v = data[i] * 32767.0f;
+        // Rust `as i16`: truncate toward zero, saturate
+        if (v > 32767.0f) v = 32767.0f;
+        if (v < -32768.0f) v = -32768.0f;
+        int16_t s = static_cast<int16_t>(v);
+        out[44 + 2 * i] = static_cast<uint16_t>(s) & 0xFF;
+        out[44 + 2 * i + 1] = (static_cast<uint16_t>(s) >> 8) & 0xFF;
+    }
+    return 44 + payload;
+}
+
+}  // extern "C"

@@ -1,0 +1,111 @@
+"""Streaming session, native tier, WAV I/O, CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from grail_tpu import languages
+from grail_tpu.runtime import native
+from grail_tpu.runtime.stream import StreamSession
+from grail_tpu.runtime.wav import encode_wav, load_wav, save_wav
+from grail_tpu.text.language import Language
+from grail_tpu.text.phonemes import Phoneme
+from grail_tpu.text.transcribe import transcribe_chars
+from grail_tpu.utils import sample_error_db
+
+
+def test_stream_matches_offline():
+    from grail_tpu.api import synthesize_score
+    from grail_tpu.synth.score import score_from_phoneme_elems
+    from grail_tpu.text.intonate import intonate
+    from grail_tpu.voices import get_voice
+
+    v = get_voice("generic")
+    phon = list(transcribe_chars("aeae", languages.generic()))
+    score = score_from_phoneme_elems(intonate(phon, None, v), v)
+    offline = synthesize_score(score, v, seed=0)
+
+    s = StreamSession(seed=0, block=1024)
+    s.feed("aeae")
+    s.flush()
+    stream = s.read(len(offline))
+    assert sample_error_db(stream, offline) < -60
+
+
+def test_stream_idle_is_silence():
+    s = StreamSession(block=1024)
+    a = s.read(4096)  # nothing fed: silence elements
+    assert np.max(np.abs(a)) < 1e-5
+
+
+def test_stream_incremental_feed():
+    s = StreamSession(block=1024)
+    s.feed("a")
+    s.feed("e")      # held back until enough lookahead or flush
+    s.flush()
+    a = s.read(30000)
+    assert np.max(np.abs(a)) > 0.01  # actually made sound
+    assert np.isfinite(a).all()
+
+
+def test_stream_long_session_rebases():
+    s = StreamSession(block=1024)
+    for _ in range(12):
+        s.feed("aeae ")
+    s.flush()
+    total = s.read(int(44100 * 2.0))
+    assert np.isfinite(total).all()
+    assert len(s._elements) < 80  # rebasing keeps the rolling score bounded
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_transcriber_matches_python():
+    g = languages.generic()
+    cases = ["abc", "abacab", "aaa", "ae", "abuac", "abaca", "oui", "ii",
+             "AeI", "zzz", "aeae", "pp a e", ""]
+    for t in cases:
+        assert native.native_transcribe(t, g) == list(transcribe_chars(t, g)), t
+    A, E = Phoneme.A, Phoneme.E
+    l = Language.from_pairs([("a", [A]), ("aa", [E]), ("e", [E])])
+    for t in ["ae", "aaa", "aae", "ea"]:
+        assert native.native_transcribe(t, l) == list(transcribe_chars(t, l)), t
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_wav_matches_python():
+    x = (np.random.default_rng(0).random(1000).astype(np.float32) * 2 - 1)
+    assert native.native_encode_wav(x, 44100) == encode_wav(x, 44100)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 5000)).astype(np.float32) * 0.7
+    p = str(tmp_path / "t.wav")
+    save_wav(p, x, 44100)
+    y, sr = load_wav(p)
+    assert sr == 44100
+    np.testing.assert_allclose(x, y, atol=1.0 / 32000)
+
+
+def test_cli_writes_wav(tmp_path):
+    out = str(tmp_path / "cli.wav")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; from grail_tpu.cli import main;"
+         f"sys.exit(main(['-s', '-o', '{out}', 'ae']))"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "seconds of audio" in r.stdout
+    y, sr = load_wav(out)
+    assert sr == 44100 and len(y) > 40000
+
+
+def test_cli_help_and_version():
+    from grail_tpu.cli import main
+    assert main(["-h"]) == 0
+    assert main(["--version"]) == 0
