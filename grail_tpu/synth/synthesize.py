@@ -127,33 +127,29 @@ def synthesize_scan(elems: SynthesisElem,
 # Parallel block path (associative scans)
 # ---------------------------------------------------------------------------
 
-def _affine_scan(a, b, s0):
-    """Inclusive scan of s_k = a_k * s_{k-1} + b_k over axis 0 (time).
-
-    (a, b) pairs compose associatively:
-    (a2, b2) after (a1, b1) = (a2*a1, a2*b1 + b2).
-    """
-    b0 = b.at[0].add(a[0] * s0) if s0 is not None else b
-
+def affine_scan_cum(a, b):
+    """Cumulative transfer operators of s_k = a_k * s_{k-1} + b_k:
+    returns (A_k, B_k) with s_k = A_k * s_0 + B_k. Associative composition
+    (a2, b2) after (a1, b1) = (a2*a1, a2*b1 + b2), over axis 0 (time)."""
     def combine(x, y):
         ax, bx = x
         ay, by = y
         return ax * ay, ay * bx + by
 
-    _, s = jax.lax.associative_scan(combine, (a, b0), axis=0)
-    return s
+    return jax.lax.associative_scan(combine, (a, b), axis=0)
 
 
-def _svf_scan(m11, m12, m21, m22, w1, w2, b0, c0):
-    """Inclusive scan of the 2-state SVF recurrence S_k = M_k S_{k-1} + w_k.
+def _affine_scan(a, b, s0):
+    """Inclusive scan of s_k = a_k * s_{k-1} + b_k with initial state s0."""
+    A, B = affine_scan_cum(a, b)
+    return A * s0 + B
 
-    Composition of (M, w) pairs: (My*Mx, My*wx + wy) with explicit 2x2
-    component arithmetic (8 mul + 4 add per compose on the VPU).
-    Returns states AFTER each sample: (b_k, c_k).
-    """
-    w1 = w1.at[0].add(m11[0] * b0 + m12[0] * c0)
-    w2 = w2.at[0].add(m21[0] * b0 + m22[0] * c0)
 
+def svf_scan_cum(m11, m12, m21, m22, w1, w2):
+    """Cumulative transfer operators of the 2-state recurrence
+    S_k = M_k S_{k-1} + w_k: returns the 6-tuple (M_k^cum..., W_k^cum...)
+    with S_k = M_k^cum S_0 + W_k^cum. Composition of (M, w) pairs:
+    (My*Mx, My*wx + wy), explicit 2x2 component arithmetic on the VPU."""
     def combine(x, y):
         x11, x12, x21, x22, xw1, xw2 = x
         y11, y12, y21, y22, yw1, yw2 = y
@@ -165,8 +161,14 @@ def _svf_scan(m11, m12, m21, m22, w1, w2, b0, c0):
         zw2 = y21 * xw1 + y22 * xw2 + yw2
         return z11, z12, z21, z22, zw1, zw2
 
-    out = jax.lax.associative_scan(combine, (m11, m12, m21, m22, w1, w2), axis=0)
-    return out[4], out[5]
+    return jax.lax.associative_scan(combine, (m11, m12, m21, m22, w1, w2), axis=0)
+
+
+def _svf_scan(m11, m12, m21, m22, w1, w2, b0, c0):
+    """Inclusive SVF scan with initial state (b0, c0); returns post-update
+    states (b_k, c_k)."""
+    c11, c12, c21, c22, cw1, cw2 = svf_scan_cum(m11, m12, m21, m22, w1, w2)
+    return c11 * b0 + c12 * c0 + cw1, c21 * b0 + c22 * c0 + cw2
 
 
 def carrier_phase(frequency, phase0):
