@@ -1,0 +1,72 @@
+"""'english' — a grapheme->phoneme ruleset over the full inventory.
+
+A practical longest-match ruleset (the transcriber picks the longest
+matching rule, so digraphs beat single letters automatically). Plosives
+emit STOP (closure) + release, matching the reference's phoneme-model note
+that plosives need a marker phoneme (src/lib.rs:628-648). Diphthongs use
+GLIDE for seamless blending.
+"""
+
+from __future__ import annotations
+
+from ..text.language import Language
+from ..text.phonemes import Phoneme as P
+
+S = P.SILENCE
+STOP = P.STOP
+G = P.GLIDE
+
+_RULES = [
+    # whitespace / punctuation -> silence
+    (" ", [S]), (",", [S]), (".", [S, S]), ("!", [S, S]), ("?", [S, S]),
+    ("-", [S]), ("'", []), ("\n", [S, S]), ("\t", [S]),
+    # digraphs & common clusters (longest match wins)
+    ("ch", [STOP, P.T, P.SH]),
+    ("ck", [STOP, P.K]),
+    ("sh", [P.SH]),
+    ("th", [P.TH]),
+    ("ph", [P.F]),
+    ("wh", [P.W]),
+    ("ng", [P.NG]),
+    ("qu", [STOP, P.K, P.W]),
+    ("oo", [P.U]),
+    ("ee", [P.I]),
+    ("ea", [P.I]),
+    ("ou", [P.AH, G, P.U]),
+    ("ow", [P.AH, G, P.U]),
+    ("ai", [P.EH, G, P.IH]),
+    ("ay", [P.EH, G, P.IH]),
+    ("oi", [P.O, G, P.IH]),
+    ("oy", [P.O, G, P.IH]),
+    ("oa", [P.OW]),
+    ("igh", [P.AH, G, P.IH]),
+    ("tion", [P.SH, P.AH, P.N]),
+    # single letters
+    ("a", [P.AE]),
+    ("b", [STOP, P.B]),
+    ("c", [STOP, P.K]),
+    ("d", [STOP, P.D]),
+    ("e", [P.EH]),
+    ("f", [P.F]),
+    ("g", [STOP, P.G]),
+    ("h", [P.H]),
+    ("i", [P.IH]),
+    ("j", [STOP, P.D, P.ZH]),
+    ("k", [STOP, P.K]),
+    ("l", [P.L]),
+    ("m", [P.M]),
+    ("n", [P.N]),
+    ("o", [P.O]),
+    ("p", [STOP, P.P]),
+    ("r", [P.R]),
+    ("s", [P.S]),
+    ("t", [STOP, P.T]),
+    ("u", [P.AH]),
+    ("v", [P.V]),
+    ("w", [P.W]),
+    ("x", [STOP, P.K, P.S]),
+    ("y", [P.Y]),
+    ("z", [P.Z]),
+]
+
+LANGUAGE = Language.from_pairs(_RULES, case_sensitive=False, name="english")

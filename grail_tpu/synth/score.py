@@ -50,7 +50,28 @@ def score_from_phoneme_elems(
     Looks up each phoneme's SynthesisElem in the voice table, stamps the
     intonator's frequency (copy_with_frequency semantics incl. the 0.5
     Nyquist clamp), and marks specials/undefined phonemes as silent.
+
+    GLIDE markers (reference src/lib.rs:642-644: "blend the next phoneme
+    into the other seamlessly, useful for indicating diphthongs" — left
+    unimplemented there) are realized here: a Glide element extends the
+    previous element by the glide's duration and stretches its crossfade
+    over that span, so the surrounding phonemes blend directly instead of
+    dipping through silence.
     """
+    from .elem import SynthesisElem as _SE  # noqa: F401 (doc reference)
+    from ..text.phonemes import Phoneme as _P
+
+    merged = []
+    for pe in phoneme_elems:
+        if int(pe.phoneme) == int(_P.GLIDE) and merged:
+            prev = merged[-1]
+            merged[-1] = PhonemeElem(prev.phoneme,
+                                     prev.length + pe.length,
+                                     pe.length + 0.5 * prev.blend_length,
+                                     prev.frequency)
+        else:
+            merged.append(pe)
+    phoneme_elems = merged
     E = len(phoneme_elems)
     Epad = max(pad_to or E, E, 1)
 

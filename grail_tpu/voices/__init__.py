@@ -38,8 +38,10 @@ def generic() -> Voice:
 
 
 from .preset_generic import SPEC as _GENERIC_SPEC  # noqa: E402
+from .preset_plain import SPEC as _PLAIN_SPEC  # noqa: E402
 
 register_voice(_GENERIC_SPEC)
+register_voice(_PLAIN_SPEC)
 
 __all__ = [
     "PhonemeSpec", "VoiceSpec", "Voice", "compile_voice",
