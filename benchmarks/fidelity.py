@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Fidelity harness: spectral error of every fast path vs the sequential
+float32 oracle (the driver's < -60 dB metric). JSON lines.
+
+Runs on CPU by default (the oracle is host-side anyway); pass --tpu to
+measure the pallas backend on hardware.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--text", default="aeae")
+    args = ap.parse_args()
+
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from grail_tpu import languages
+    from grail_tpu.api import synthesize, synthesize_batch
+    from grail_tpu.oracle import oracle_pipeline
+    from grail_tpu.utils import sample_error_db, spectral_error_db
+    from grail_tpu.voices.preset_generic import SPEC
+
+    gold = oracle_pipeline(args.text, SPEC, languages.generic())
+
+    cases = {
+        "scan": lambda: synthesize(args.text, use_scan=True),
+        "xla_block": lambda: synthesize(args.text),
+        "pallas" if args.tpu else "pallas_interpret":
+            lambda: synthesize_batch(
+                [args.text],
+                backend="pallas" if args.tpu else "pallas_interpret")[0],
+    }
+    for name, fn in cases.items():
+        audio = fn()
+        print(json.dumps({
+            "bench": "fidelity",
+            "path": name,
+            "text": args.text,
+            "spectral_error_db": round(spectral_error_db(audio, gold), 2),
+            "sample_error_db": round(sample_error_db(audio, gold), 2),
+            "pass_minus60": spectral_error_db(audio, gold) < -60,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

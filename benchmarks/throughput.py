@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Throughput sweep: batch size x backend -> x-realtime (JSON lines).
+
+Timing forces a scalar device->host fetch per iteration (block_until_ready
+does not synchronize on the axon platform).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_case(B, backend, texts_per=8, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from grail_tpu.api import (_round_up, _score_num_samples, _synth_jit_batch,
+                               text_to_score)
+    from grail_tpu.synth.jitter import JitterLattice, build_lattice
+    from grail_tpu.synth.kernel import LANE
+    from grail_tpu.synth.score import stack_scores
+    from grail_tpu.voices import get_voice
+
+    texts = [("aeae" * 4)[: 8 + (i % texts_per)] for i in range(B)]
+    voice = get_voice("generic")
+    sr = float(voice.sample_rate)
+    E = max(text_to_score(t).num_elems for t in texts)
+    Bp = _round_up(B, LANE) if backend.startswith("pallas") else B
+    scores = [text_to_score(texts[i % B], pad_to=E) for i in range(Bp)]
+    Ns = [_score_num_samples(s, sr) for s in scores[:B]]
+    T = _round_up(max(Ns), 4096)
+    lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(Bp)]
+    lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
+    batched = jax.device_put(stack_scores(scores))
+    lattices = jax.device_put(lattices)
+    jp = tuple(jnp.float32(x) for x in (
+        voice.jitter_frequency, voice.jitter_delta_frequency,
+        voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
+    srj = jnp.float32(sr)
+
+    out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+    _ = float(np.asarray(out[0, 0]))
+    times = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+        _ = float(np.asarray(out[0, 0]))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_seconds = sum(Ns) / sr
+    return {
+        "bench": "throughput",
+        "batch": B,
+        "backend": backend,
+        "audio_seconds": round(audio_seconds, 2),
+        "wall_ms": round(wall * 1000, 2),
+        "x_realtime": round(audio_seconds / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="16,64,128,256")
+    ap.add_argument("--backends", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from grail_tpu.api import default_backend
+
+    backends = (args.backends.split(",") if args.backends
+                else [default_backend()])
+    for backend in backends:
+        for b in [int(x) for x in args.batches.split(",")]:
+            print(json.dumps(run_case(b, backend)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

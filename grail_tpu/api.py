@@ -114,11 +114,14 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
     B = scores.length.shape[0]
 
     if backend == "scan":
-        def expand_one(score, lattice):
-            elems, valid = expand_score(score, sample_rate, T)
-            return apply_jitter(elems, lattice, jf, jdf, jdff, jda), valid
+        da = 0 if jnp.ndim(jdf) > 0 else None
 
-        elems, valid = jax.vmap(expand_one)(scores, lattices)
+        def expand_one(score, lattice, jdf_, jdff_, jda_):
+            elems, valid = expand_score(score, sample_rate, T)
+            return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_), valid
+
+        elems, valid = jax.vmap(expand_one, in_axes=(0, 0, da, da, da))(
+            scores, lattices, jdf, jdff, jda)
         elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
         out, _ = synthesize_scan(elems_tm)
         return jnp.moveaxis(out, 0, 1) * valid
@@ -127,20 +130,25 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
     nb = max(T // BLOCK_SIZE, 1)
     blk = T // nb
 
+    # jitter deltas may be per-utterance [B] (multi-voice batches) or scalar
+    per_b = jnp.ndim(jdf) > 0
+    d_axes = 0 if per_b else None
+
     def step(st, i):
         off = i * blk
 
-        def expand_one(score, lattice):
+        def expand_one(score, lattice, jdf_, jdff_, jda_):
             elems, valid = expand_score(score, sample_rate, blk, offset=off)
-            return apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=off), valid
+            return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_,
+                                offset=off), valid
 
-        elems, valid = jax.vmap(expand_one)(scores, lattices)  # [B, blk, ...]
+        elems, valid = jax.vmap(expand_one, in_axes=(0, 0, d_axes, d_axes, d_axes))(
+            scores, lattices, jdf, jdff, jda)               # [B, blk, ...]
         elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
         if use_pallas:
-            from .synth.kernel import pack_params, synth_core_pallas
+            from .synth.kernel import synth_core_pallas
 
-            params = pack_params(elems_tm)                     # [blk, 56, B]
-            out, st = synth_core_pallas(params, st,
+            out, st = synth_core_pallas(elems_tm, st,
                                         interpret=backend == "pallas_interpret")
         else:
             out, st = _block_core(elems_tm, st)                # [blk, B]
@@ -200,26 +208,40 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                      backend: Optional[str] = None) -> List[np.ndarray]:
     """Batched synthesis: one device program over [B] utterances.
 
-    All utterances pad to shared (E, T); per-utterance outputs are sliced
-    back to their true lengths. backend: 'pallas' | 'xla' | 'scan' |
+    `voice` may be a single voice/name or a per-utterance sequence
+    (multi-voice batch): each utterance's score carries its own voice's
+    formant tables, so mixed voices run in the same device program. All
+    voices must share sample rate and jitter rate (per-voice jitter deltas
+    are vectorized). All utterances pad to shared (E, T); outputs are
+    sliced back to their true lengths. backend: 'pallas' | 'xla' | 'scan' |
     'pallas_interpret' (None = auto: pallas on TPU, xla otherwise).
     """
-    v = _resolve_voice(voice)
-    sr = float(sample_rate or v.sample_rate)
-    seeds = list(seeds) if seeds is not None else [0] * len(texts)
+    B = len(texts)
+    if isinstance(voice, (list, tuple)):
+        voices = [_resolve_voice(v) for v in voice]
+        assert len(voices) == B, "one voice per text"
+    else:
+        voices = [_resolve_voice(voice)] * B
+    v0 = voices[0]
+    assert all(float(v.sample_rate) == float(v0.sample_rate) for v in voices), \
+        "batched voices must share a sample rate"
+    assert all(abs(v.jitter_frequency - v0.jitter_frequency) < 1e-9 for v in voices), \
+        "batched voices must share a jitter rate"
+    sr = float(sample_rate or v0.sample_rate)
+    seeds = list(seeds) if seeds is not None else [0] * B
     if backend is None:
         backend = "scan" if use_scan else default_backend()
 
     scores_raw = [text_to_score(t, v, language, contour=contour,
-                                speaking_rate=speaking_rate) for t in texts]
+                                speaking_rate=speaking_rate)
+                  for t, v in zip(texts, voices)]
     E = max(s.num_elems for s in scores_raw)
     scores = [s if s.num_elems == E else text_to_score(
         t, v, language, contour=contour, speaking_rate=speaking_rate, pad_to=E)
-        for s, t in zip(scores_raw, texts)]
+        for s, t, v in zip(scores_raw, texts, voices)]
     Ns = [_score_num_samples(s, sr) for s in scores]
     T = _round_up(max(max(Ns), 1), 4096)
 
-    B = len(scores)
     Bp = B
     if backend.startswith("pallas"):
         from .synth.kernel import LANE
@@ -227,12 +249,22 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
         Bp = _round_up(B, LANE)
         scores = scores + [scores[0]] * (Bp - B)   # lane padding rows
         seeds = seeds + [0] * (Bp - B)
+        voices = voices + [voices[0]] * (Bp - B)
 
-    lattices = [build_lattice(sd, T, v.jitter_frequency) for sd in seeds]
+    lattices = [build_lattice(sd, T, v0.jitter_frequency) for sd in seeds]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
     batched = stack_scores(scores)
-    jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
-               jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
+    multi = any(v is not voices[0] for v in voices)
+    if multi:
+        jparams = (jnp.float32(v0.jitter_frequency),
+                   jnp.asarray([v.jitter_delta_frequency for v in voices], jnp.float32),
+                   jnp.asarray([v.jitter_delta_formant_frequency for v in voices], jnp.float32),
+                   jnp.asarray([v.jitter_delta_amplitude for v in voices], jnp.float32))
+    else:
+        jparams = (jnp.float32(v0.jitter_frequency),
+                   jnp.float32(v0.jitter_delta_frequency),
+                   jnp.float32(v0.jitter_delta_formant_frequency),
+                   jnp.float32(v0.jitter_delta_amplitude))
     out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
                                       jnp.float32(sr), T, backend))
     return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]

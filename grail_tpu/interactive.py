@@ -1,0 +1,68 @@
+"""Interactive streaming REPL — the examples/interactive.rs capability.
+
+Reads lines from stdin, streams them through a StreamSession, and writes
+the audio incrementally (to a WAV file, or raw f32 to stdout for piping
+into an audio player — this environment has no audio device, the
+reference's cpal playback role is filled by `--raw | aplay`-style piping).
+
+    python -m grail_tpu.interactive -o live.wav -v plain -l english
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+
+import numpy as np
+
+from .runtime.stream import StreamSession
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="grail-tpu interactive streaming TTS")
+    ap.add_argument("-v", "--voice", default="plain")
+    ap.add_argument("-l", "--language", default="english")
+    ap.add_argument("-o", "--output", default="interactive.wav")
+    ap.add_argument("--raw", action="store_true",
+                    help="write raw float32 samples to stdout instead of a WAV")
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("-c", "--contour", action="store_true")
+    args = ap.parse_args(argv)
+
+    session = StreamSession(voice=args.voice, language=args.language,
+                            block=args.block, contour=args.contour)
+    sr = int(session.sample_rate)
+
+    chunks = []
+
+    def emit(a: np.ndarray):
+        if args.raw:
+            sys.stdout.buffer.write(a.astype(np.float32).tobytes())
+            sys.stdout.buffer.flush()
+        else:
+            chunks.append(a)
+
+    print(f"grail-tpu interactive: voice={args.voice} language={args.language} "
+          f"(type text, Ctrl-D to finish)", file=sys.stderr)
+    try:
+        for line in sys.stdin:
+            session.feed(line.rstrip("\n") + " ")
+            session.flush()
+            # drain everything pending plus a short tail
+            n = int(session.pending_seconds * sr) + session.block
+            emit(session.read(n))
+    except KeyboardInterrupt:
+        pass
+
+    if not args.raw and chunks:
+        from .runtime.wav import save_wav
+
+        audio = np.concatenate(chunks)
+        save_wav(args.output, audio, sr)
+        print(f"wrote {len(audio) / sr:.2f}s to {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

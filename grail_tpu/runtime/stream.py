@@ -215,6 +215,64 @@ class StreamSession:
         self._jitter_pos += blk
         return np.asarray(out, np.float32)
 
+    # -- checkpoint / resume ----------------------------------------------
+    #
+    # The reference's "resume" is implicit iterator state (SURVEY.md §5:
+    # phase, 3 filter arrays, RNG seed, src/lib.rs:470-488). Here the whole
+    # session — rolling score, sample counters, DSP state, jitter lattice
+    # continuations — serializes to one npz payload.
+
+    def save_state(self) -> bytes:
+        import io
+        import json
+
+        buf = io.BytesIO()
+        elems = np.array([(int(e.phoneme), e.length, e.blend_length, e.frequency)
+                          for e in self._elements], np.float64).reshape(-1, 4)
+        np.savez(
+            buf,
+            elems=elems,
+            counters=np.array([self._consumed_samples, self._jitter_pos], np.int64),
+            phase=np.asarray(self._state.phase),
+            lp=np.asarray(self._state.filter_state_a),
+            fb=np.asarray(self._state.filter_state_b),
+            fc=np.asarray(self._state.filter_state_c),
+            seed=np.asarray(self._state.seed),
+            lat_pitch=self._lattice.pitch,
+            lat_formant=self._lattice.formant,
+            lat_amp=self._lattice.amp,
+            lat_states=np.array([self._lattice._pitch_state.state,
+                                 self._lattice._formant_state.state,
+                                 self._lattice._amp_state.state], np.uint32),
+            pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
+        )
+        return buf.getvalue()
+
+    def load_state(self, payload: bytes) -> None:
+        import io
+
+        z = np.load(io.BytesIO(payload))
+        self._elements = [
+            PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
+            for r in z["elems"]]
+        self._consumed_samples = int(z["counters"][0])
+        self._jitter_pos = int(z["counters"][1])
+        self._state = SynthState(
+            phase=jnp.asarray(z["phase"]),
+            filter_state_a=jnp.asarray(z["lp"]),
+            filter_state_b=jnp.asarray(z["fb"]),
+            filter_state_c=jnp.asarray(z["fc"]),
+            seed=jnp.asarray(z["seed"]),
+        )
+        self._lattice.pitch = z["lat_pitch"]
+        self._lattice.formant = z["lat_formant"]
+        self._lattice.amp = z["lat_amp"]
+        st = z["lat_states"]
+        self._lattice._pitch_state.state = int(st[0])
+        self._lattice._formant_state.state = int(st[1])
+        self._lattice._amp_state.state = int(st[2])
+        self._pending_chars = list(bytes(z["pending"]).decode())
+
     @property
     def pending_seconds(self) -> float:
         lengths = np.float32([e.length for e in self._elements])

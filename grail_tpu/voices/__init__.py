@@ -39,9 +39,13 @@ def generic() -> Voice:
 
 from .preset_generic import SPEC as _GENERIC_SPEC  # noqa: E402
 from .preset_plain import SPEC as _PLAIN_SPEC  # noqa: E402
+from .preset_variants import BRIGHT as _BRIGHT, DEEP as _DEEP, WHISPER as _WHISPER  # noqa: E402
 
 register_voice(_GENERIC_SPEC)
 register_voice(_PLAIN_SPEC)
+register_voice(_BRIGHT)
+register_voice(_DEEP)
+register_voice(_WHISPER)
 
 __all__ = [
     "PhonemeSpec", "VoiceSpec", "Voice", "compile_voice",

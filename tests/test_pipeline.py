@@ -62,6 +62,13 @@ def test_batch_equals_single(block_ae):
     np.testing.assert_allclose(outs[2], block_ae, atol=2e-5)
 
 
+def test_multi_voice_batch():
+    outs = synthesize_batch(["aeae", "aeae"], voice=["plain", "bright"], seeds=[1, 1])
+    single = synthesize("aeae", voice="bright", seed=1)
+    assert sample_error_db(outs[1], single) < -100   # per-voice params exact
+    assert sample_error_db(outs[0], outs[1]) > -20   # voices actually differ
+
+
 def test_jitter_seed_changes_output(block_ae):
     a1 = synthesize("ae", seed=123)
     assert sample_error_db(a1, block_ae) > -40  # audibly different jitter

@@ -61,6 +61,20 @@ def test_stream_long_session_rebases():
     assert len(s._elements) < 80  # rebasing keeps the rolling score bounded
 
 
+def test_stream_checkpoint_resume_bit_exact():
+    s1 = StreamSession(seed=0, block=1024)
+    s1.feed("aeae")
+    s1.flush()
+    s1.read(20480)
+    blob = s1.save_state()
+    rest1 = s1.read(20480)
+
+    s2 = StreamSession(seed=0, block=1024)
+    s2.load_state(blob)
+    rest2 = s2.read(20480)
+    np.testing.assert_array_equal(rest1, rest2)
+
+
 @pytest.mark.skipif(not native.available(), reason="native library not built")
 def test_native_transcriber_matches_python():
     g = languages.generic()
