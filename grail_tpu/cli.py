@@ -87,8 +87,12 @@ def main(argv=None) -> int:
     print(f" -- {voice}")
 
     start = time.perf_counter()
-    audio = synthesize(to_say, voice=voice, language=language,
-                       sample_rate=sample_rate, contour=contour)
+    try:
+        audio = synthesize(to_say, voice=voice, language=language,
+                           sample_rate=sample_rate, contour=contour)
+    except KeyError as e:
+        print(f"error: {e.args[0]}")
+        return 1
     duration_us = int((time.perf_counter() - start) * 1e6)
 
     print(f"{len(audio) / sample_rate:.2f} seconds of audio, "
