@@ -125,6 +125,15 @@ def _synth_kernel(params_ref, lp_in, b_in, c_in,
         c_out[...] = c_scr[...]
 
 
+def kernel_geometry(B: int):
+    """Pick (lane, chunk): wider lane tiles expose more independent
+    recurrence streams per kernel instance (hides dependent-op latency —
+    measured ~2x aggregate throughput at lane 256 vs two 128 tiles); chunk
+    shrinks to keep the double-buffered [chunk, 56, lane] stream in VMEM."""
+    lane = 256 if B % 256 == 0 else LANE
+    return lane, (2 * CHUNK * LANE) // (2 * lane)
+
+
 def synth_core_pallas(params_or_elems, state: SynthState,
                       interpret: bool = False) -> Tuple[jnp.ndarray, SynthState]:
     """Fused DSP core. Accepts a [T, B]-batched SynthesisElem (runs the XLA
@@ -132,17 +141,18 @@ def synth_core_pallas(params_or_elems, state: SynthState,
     elems = params_or_elems
     params, phase_out, seed_out = precompute_streams(elems, state)
     T, R, B = params.shape
+    lane, chunk = kernel_geometry(B)
     assert R == PACK_ROWS, R
-    assert T % CHUNK == 0, (T, CHUNK)
-    assert B % LANE == 0, (B, LANE)
-    nbt = B // LANE
-    nt = T // CHUNK
+    assert T % chunk == 0, (T, chunk)
+    assert B % lane == 0, (B, lane)
+    nbt = B // lane
+    nt = T // chunk
 
     lp = state.filter_state_a.T.reshape(NUM_FORMANTS, B)
     fb = state.filter_state_b.T.reshape(NUM_FORMANTS, B)
     fc = state.filter_state_c.T.reshape(NUM_FORMANTS, B)
 
-    fvec = lambda: pl.BlockSpec((NUM_FORMANTS, LANE), lambda bt, tt: (0, bt),
+    fvec = lambda: pl.BlockSpec((NUM_FORMANTS, lane), lambda bt, tt: (0, bt),
                                 memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((T, B), jnp.float32),
@@ -154,20 +164,20 @@ def synth_core_pallas(params_or_elems, state: SynthState,
         _synth_kernel,
         grid=(nbt, nt),
         in_specs=[
-            pl.BlockSpec((CHUNK, PACK_ROWS, LANE), lambda bt, tt: (tt, 0, bt),
+            pl.BlockSpec((chunk, PACK_ROWS, lane), lambda bt, tt: (tt, 0, bt),
                          memory_space=pltpu.VMEM),
             fvec(), fvec(), fvec(),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, LANE), lambda bt, tt: (tt, bt),
+            pl.BlockSpec((chunk, lane), lambda bt, tt: (tt, bt),
                          memory_space=pltpu.VMEM),
             fvec(), fvec(), fvec(),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((NUM_FORMANTS, LANE), jnp.float32),
-            pltpu.VMEM((NUM_FORMANTS, LANE), jnp.float32),
-            pltpu.VMEM((NUM_FORMANTS, LANE), jnp.float32),
+            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
+            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
+            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
         ],
         interpret=interpret,
     )(params, lp, fb, fc)
