@@ -1,0 +1,36 @@
+"""Golden-WAV regression: fast paths vs committed fixtures.
+
+The fixtures in tests/golden/ are rendered by the float32 oracle
+(grail_tpu/oracle/reference.py, an operation-order-faithful port of the
+grail-rs iterators — no Rust toolchain exists in this environment). They pin
+the output waveform across refactors: the driver's fidelity metric is
+< -60 dB spectral error vs reference audio.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grail_tpu.api import synthesize
+from grail_tpu.runtime.wav import load_wav
+from grail_tpu.utils import sample_error_db, spectral_error_db
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+@pytest.mark.parametrize("text,seed", [("ae", 0), ("aeea", 0), ("ae", 123)])
+def test_block_path_vs_golden_wav(text, seed):
+    gold, sr = load_wav(os.path.join(GOLDEN, f"{text}_generic_seed{seed}.wav"))
+    assert sr == 44100
+    audio = synthesize(text, seed=seed)
+    assert spectral_error_db(audio, gold) < -60
+    # 16-bit quantization floor is ~-90 dB; sample-domain must stay close too
+    assert sample_error_db(audio, gold) < -50
+
+
+def test_scan_path_vs_golden_wav():
+    gold, _ = load_wav(os.path.join(GOLDEN, "ae_generic_seed0.wav"))
+    audio = synthesize("ae", use_scan=True)
+    assert spectral_error_db(audio, gold) < -60
+    assert sample_error_db(audio, gold) < -55
