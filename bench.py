@@ -38,17 +38,20 @@ def main():
     from grail_tpu.synth.score import stack_scores
     from grail_tpu.voices import get_voice
 
+    from grail_tpu.api import _synth_jit_split
+
     B = 64
     texts = [("aeae" * 4)[: 8 + (i % 8)] for i in range(B)]  # ~4-8 s each
     voice = get_voice("generic")
     sr = float(voice.sample_rate)
     backend = default_backend()
+    S = 2 if backend == "pallas" else 1  # overlap-save split -> 128 lanes
 
     E = max(text_to_score(t).num_elems for t in texts)
-    Bp = _round_up(B, LANE) if backend.startswith("pallas") else B
+    Bp = B if S > 1 else (_round_up(B, LANE) if backend.startswith("pallas") else B)
     scores = [text_to_score(texts[i % B], pad_to=E) for i in range(Bp)]
     Ns = [_score_num_samples(s, sr) for s in scores[:B]]
-    T = _round_up(max(Ns), 4096)
+    T = _round_up(max(Ns), S * 4096)
 
     lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(Bp)]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
@@ -60,13 +63,18 @@ def main():
                jnp.float32(voice.jitter_delta_amplitude))
     srj = jnp.float32(sr)
 
-    out = _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+    def run():
+        if S > 1:
+            return _synth_jit_split(batched, lattices, jparams, srj, T, S)
+        return _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+
+    out = run()
     _ = float(np.asarray(out[0, 0]))  # compile + real sync
 
     times = []
     for _i in range(5):
         t0 = time.perf_counter()
-        out = _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+        out = run()
         _ = float(np.asarray(out[0, 0]))  # forces the full computation
         times.append(time.perf_counter() - t0)
     wall = min(times)

@@ -12,7 +12,6 @@ the TPU VPU; no transcendental units are touched.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def tan_approx(x):

@@ -11,7 +11,7 @@ reference's cpal playback role is filled by `--raw | aplay`-style piping).
 from __future__ import annotations
 
 import argparse
-import struct
+
 import sys
 
 import numpy as np

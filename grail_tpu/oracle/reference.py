@@ -20,7 +20,7 @@ It is SLOW (pure Python per sample) — test inputs stay short.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np

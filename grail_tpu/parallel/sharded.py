@@ -35,12 +35,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.constants import LEHMER_A, NUM_FORMANTS
+
 from ..core.rng import lehmer_affine, random_f32_from_state
 from ..synth.elem import SynthesisElem
-from ..synth.synthesize import (SynthState, _polyblep, _sample_v0, _svf_coeffs,
+from ..synth.synthesize import (SynthState, _polyblep, _svf_coeffs,
                                 affine_scan_cum, svf_scan_cum)
 from ..core.approx import exp_approx
 

@@ -25,9 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.constants import LEHMER_A, NUM_FORMANTS
-from ..core.rng import np_random_f32_from_state
-from ..synth.elem import SynthesisElem
+from ..core.constants import NUM_FORMANTS
+
 from ..synth.jitter import JitterLattice
 from ..synth.score import Score, score_from_phoneme_elems
 from ..synth.sequencer import expand_score
@@ -224,7 +223,6 @@ class StreamSession:
 
     def save_state(self) -> bytes:
         import io
-        import json
 
         buf = io.BytesIO()
         elems = np.array([(int(e.phoneme), e.length, e.blend_length, e.frequency)

@@ -125,11 +125,21 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
 
 def apply_jitter(elems: SynthesisElem, lattice: JitterLattice, jitter_frequency,
                  delta_frequency, delta_formant_freq, delta_amplitude,
-                 offset=0) -> SynthesisElem:
+                 offset=0, mask=None) -> SynthesisElem:
     """Apply the reference jitter update (src/lib.rs:753-777) to a [T, ...]
-    per-sample parameter stream."""
+    per-sample parameter stream.
+
+    `mask` [T] (optional) disables jitter on invalid samples (stream pre-roll
+    and tail) — required by the overlap-save split path, which needs the
+    pre-roll carrier frequency to stay at the exact silent-frame constant.
+    """
     T = elems.frequency.shape[0]
     pitch, formant, amp_n = jitter_values(lattice, T, jitter_frequency, offset)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        pitch = pitch * m
+        formant = formant * m[:, None]
+        amp_n = amp_n * m[:, None] - (1.0 - m[:, None])  # masked -> n=-1 -> delta 0
 
     frequency = elems.frequency + pitch * jnp.float32(delta_frequency)
     formant_freq = elems.formant_freq + formant * jnp.float32(delta_formant_freq)

@@ -142,6 +142,9 @@ def synth_core_pallas(params_or_elems, state: SynthState,
     params, phase_out, seed_out = precompute_streams(elems, state)
     T, R, B = params.shape
     lane, chunk = kernel_geometry(B)
+    if interpret:  # interpreter mode has no lane-width constraint (CPU tests)
+        lane = B
+        chunk = min(chunk, T)
     assert R == PACK_ROWS, R
     assert T % chunk == 0, (T, chunk)
     assert B % lane == 0, (B, lane)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.constants import NUM_FORMANTS
 from ..text.intonate import PhonemeElem
-from ..text.phonemes import NUM_SPECIALS, is_sound, sound_index
+from ..text.phonemes import is_sound, sound_index
 from .elem import SynthesisElem
 
 
@@ -58,7 +58,6 @@ def score_from_phoneme_elems(
     over that span, so the surrounding phonemes blend directly instead of
     dipping through silence.
     """
-    from .elem import SynthesisElem as _SE  # noqa: F401 (doc reference)
     from ..text.phonemes import Phoneme as _P
 
     merged = []

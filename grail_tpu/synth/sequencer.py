@@ -59,7 +59,7 @@ def expand_score(score: Score, sample_rate, num_samples: int,
     n = jnp.floor(C * sr).astype(jnp.int32)                   # [E] end samples
 
     k1 = jnp.arange(1, T + 1, dtype=jnp.int32) + jnp.asarray(offset, jnp.int32)
-    valid = k1 <= n[-1]
+    valid = (k1 >= 1) & (k1 <= n[-1])  # k1 < 1: pre-roll (overlap-save warmup)
 
     # TPU-native "gather": element index by compare-count (== searchsorted
     # left over the non-decreasing boundary array), then ALL per-sample
@@ -142,6 +142,54 @@ def expand_score(score: Score, sample_rate, num_samples: int,
         for f, s0 in zip(out, sil)))
 
     return out, valid
+
+
+def expand_frequency(score: Score, sample_rate, num_samples: int, offset=0):
+    """Frequency stream only: [T] carrier frequency + validity mask.
+
+    MUST stay arithmetic-identical to expand_score's frequency output — the
+    overlap-save split path integrates this stream (Q32) to obtain exact
+    segment-boundary carrier phases, so any divergence breaks phase
+    continuity at segment seams (tested in test_split.py).
+    """
+    E = score.num_elems
+    T = int(num_samples)
+    sr = jnp.float32(sample_rate)
+    dt = jnp.float32(1.0) / sr
+
+    C = jnp.cumsum(score.length.astype(jnp.float32))
+    n = jnp.floor(C * sr).astype(jnp.int32)
+    k1 = jnp.arange(1, T + 1, dtype=jnp.int32) + jnp.asarray(offset, jnp.int32)
+    valid = (k1 >= 1) & (k1 <= n[-1])
+
+    below = (n[None, :] < k1[:, None])
+    j = jnp.sum(below.astype(jnp.int32), axis=-1)
+    j = jnp.minimum(j, E - 1)
+    has_next = (j + 1) < E
+    onehot = jax.nn.one_hot(j, E, dtype=jnp.float32)
+
+    def sel_scalar(tab):
+        return onehot @ tab.astype(jnp.float32)
+
+    def shift(tab):
+        return jnp.concatenate([tab[1:], tab[-1:]], axis=0)
+
+    s = k1.astype(jnp.float32) * dt
+    t = sel_scalar(C) - s
+    a = jnp.minimum(t / sel_scalar(score.blend_length), 1.0)
+
+    cur_f = sel_scalar(score.elem.frequency)
+    nxt_f = sel_scalar(shift(score.elem.frequency))
+    hs_f = score.has_sound.astype(jnp.float32)
+    hs_cur = sel_scalar(hs_f) > 0.5
+    hs_nxt = (sel_scalar(shift(hs_f)) > 0.5) & has_next
+
+    sil_f = jnp.float32(0.25)
+    both = cur_f * a + nxt_f * (1.0 - a)
+    freq = jnp.where(hs_cur & hs_nxt, both,
+                     jnp.where(hs_cur, cur_f, jnp.where(hs_nxt, nxt_f, sil_f)))
+    freq = jnp.where(valid, freq.astype(jnp.float32), sil_f)
+    return freq, valid
 
 
 def num_output_samples(total_seconds: float, sample_rate: float) -> int:

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 from .language import Language
-from .phonemes import NUM_SPECIALS, Phoneme, is_sound
+from .phonemes import Phoneme, is_sound
 
 
 @dataclass(frozen=True)

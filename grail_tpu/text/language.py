@@ -8,7 +8,7 @@ the author.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 from .phonemes import Phoneme

@@ -8,7 +8,6 @@ tract length, center frequency shifts pitch.
 
 from __future__ import annotations
 
-from dataclasses import replace
 
 from .preset_plain import SPEC as _PLAIN
 from .voice import PhonemeSpec, VoiceSpec

@@ -14,7 +14,7 @@ phoneme -> parameter lookup on device is a single gather.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
