@@ -140,6 +140,13 @@ def synth_core_pallas(params_or_elems, state: SynthState,
     prep, then the kernel) and returns (audio [T, B], new SynthState)."""
     elems = params_or_elems
     params, phase_out, seed_out = precompute_streams(elems, state)
+    return kernel_call(params, state, phase_out, seed_out, interpret)
+
+
+def kernel_call(params, state: SynthState, phase_out, seed_out,
+                interpret: bool = False) -> Tuple[jnp.ndarray, SynthState]:
+    """Invoke the kernel on an already-packed [T, 56, B] coefficient stream
+    (the batched.py path builds it in row layout directly)."""
     T, R, B = params.shape
     lane, chunk = kernel_geometry(B)
     if interpret:  # interpreter mode has no lane-width constraint (CPU tests)
@@ -195,4 +202,4 @@ def synth_core_pallas(params_or_elems, state: SynthState,
     return audio, new_state
 
 
-__all__ = ["synth_core_pallas", "precompute_streams", "PACK_ROWS", "LANE", "CHUNK"]
+__all__ = ["synth_core_pallas", "kernel_call", "precompute_streams", "PACK_ROWS", "LANE", "CHUNK"]
