@@ -47,7 +47,7 @@ def main(argv=None) -> int:
           f"(type text, Ctrl-D to finish)", file=sys.stderr)
     try:
         for line in sys.stdin:
-            session.feed(line.rstrip("\n") + " ")
+            session.feed(line.rstrip("\n") + " ", parse_commands=True)
             session.flush()
             # drain everything pending plus a short tail
             n = int(session.pending_seconds * sr) + session.block

@@ -81,6 +81,32 @@ class _IncrementalLattice:
         return JitterLattice(self.pitch, self.formant, self.amp)
 
 
+def _parse_commands(text: str):
+    """Split text into ('text', str) and (command, value) chunks.
+
+    Command syntax: `[key:value]`; an unterminated or malformed bracket is
+    treated as literal text."""
+    out = []
+    i = 0
+    while i < len(text):
+        j = text.find("[", i)
+        if j < 0:
+            out.append(("text", text[i:]))
+            break
+        k = text.find("]", j)
+        body = text[j + 1:k] if k > 0 else ""
+        if k > 0 and ":" in body and body.split(":", 1)[0] in ("pitch", "rate", "voice"):
+            if j > i:
+                out.append(("text", text[i:j]))
+            key, val = body.split(":", 1)
+            out.append((key, val.strip()))
+            i = k + 1
+        else:
+            out.append(("text", text[i:j + 1]))
+            i = j + 1
+    return [(k, v) for k, v in out if v or k != "text"]
+
+
 def _bucket(n: int) -> int:
     b = 16
     while b < n:
@@ -122,9 +148,26 @@ class StreamSession:
 
     # -- frontend ----------------------------------------------------------
 
-    def feed(self, text: str) -> None:
+    def feed(self, text: str, parse_commands: bool = False) -> None:
         """Append text; transcription is greedy so a trailing partial match
-        waits for more characters (buffered like the reference Peekable)."""
+        waits for more characters (buffered like the reference Peekable).
+
+        With parse_commands=True, inline `[key:value]` tokens adjust live
+        intonation — the reference's planned-but-unimplemented parser stage
+        ("parser to parse text and handle potential commands",
+        src/lib.rs:1366; README.md:19):
+
+            [pitch:150]   center frequency in Hz for subsequent text
+            [rate:1.5]    speaking rate multiplier
+            [voice:name]  switch voice preset (same sample/jitter rates)
+        """
+        if parse_commands:
+            for kind, payload in _parse_commands(text):
+                if kind == "text":
+                    self.feed(payload)
+                else:
+                    self._apply_command(kind, payload)
+            return
         self._pending_chars.extend(text)
         # transcribe all buffered chars; trailing prefix may emit silence at
         # EOF in the raw automaton, so keep a small holdback of the longest
@@ -137,6 +180,23 @@ class StreamSession:
         phonemes = list(transcribe_chars("".join(head), self.language))
         self._pending_chars = tail
         self._append_phonemes(phonemes)
+
+    def _apply_command(self, kind: str, value: str) -> None:
+        import dataclasses
+
+        self.flush()  # pending text keeps the pre-command settings
+        if kind == "pitch":
+            self.voice = dataclasses.replace(
+                self.voice, center_frequency=float(value) / self.sample_rate)
+        elif kind == "rate":
+            self.speaking_rate = float(value)
+        elif kind == "voice":
+            new = get_voice(value)
+            if float(new.sample_rate) != self.sample_rate:
+                raise ValueError("live voice switch requires equal sample rates")
+            self.voice = new
+        else:
+            raise ValueError(f"unknown stream command {kind!r}")
 
     def flush(self) -> None:
         """Force-transcribe any held-back characters."""

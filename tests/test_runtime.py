@@ -61,6 +61,41 @@ def test_stream_long_session_rebases():
     assert len(s._elements) < 80  # rebasing keeps the rolling score bounded
 
 
+def test_stream_live_intonation_commands():
+    # the reference's planned parser stage (src/lib.rs:1366, README.md:19):
+    # inline [pitch:..]/[rate:..]/[voice:..] commands steer the live stream
+    s = StreamSession(voice="plain", language="english")
+    s.feed("la[pitch:240]la", parse_commands=True)
+    s.flush()
+    a = s.read(44100)
+
+    def f0(x, sr=44100):
+        x = x - x.mean()
+        ac = np.correlate(x, x, "full")[len(x) - 1:]
+        lo, hi = int(sr / 400), int(sr / 60)
+        return sr / (lo + np.argmax(ac[lo:hi]))
+
+    before = f0(a[2000:12000])
+    after = f0(a[26000:36000])
+    assert 100 < before < 140      # plain voice center 120 Hz
+    assert 200 < after < 280       # pitched up to 240 Hz
+    # rate + voice commands apply without error
+    s.feed("[rate:2.0][voice:bright]la", parse_commands=True)
+    s.flush()
+    b = s.read(20000)
+    assert np.isfinite(b).all()
+
+
+def test_stream_command_parser_edge_cases():
+    from grail_tpu.runtime.stream import _parse_commands
+
+    assert _parse_commands("aa[pitch:200]ee") == [
+        ("text", "aa"), ("pitch", "200"), ("text", "ee")]
+    # malformed brackets are literal text
+    assert all(k == "text" for k, _ in _parse_commands("a[bad b]c[unclosed"))
+    assert _parse_commands("") == []
+
+
 def test_stream_checkpoint_resume_bit_exact():
     s1 = StreamSession(seed=0, block=1024)
     s1.feed("aeae")
