@@ -53,9 +53,11 @@ def text_to_score(text: str, voice="generic", language="generic",
 
 
 def _score_num_samples(score: Score, sample_rate: float) -> int:
-    """Replicates the device boundary math (f32 cumsum + floor) on host."""
-    C = np.cumsum(np.asarray(score.length, np.float32).reshape(-1)[-score.num_elems:])
-    # for batched scores callers pass per-row slices; this helper is 1-D only
+    """Replicates the device boundary math (f32 cumsum + floor) on host.
+    Single-utterance scores only ([E] leading dim)."""
+    lengths = np.asarray(score.length, np.float32)
+    assert lengths.ndim == 1, "pass per-utterance scores, not a batch"
+    C = np.cumsum(lengths)
     return int(np.floor(np.float32(C[-1]) * np.float32(sample_rate)))
 
 

@@ -93,6 +93,12 @@ class Voice:
         if new_sample_rate == self.sample_rate:
             return self
         r = self.sample_rate / new_sample_rate
+        from ..synth.jitter import MAX_JITTER_INC
+        if self.jitter_frequency * r > MAX_JITTER_INC:
+            raise ValueError(
+                f"voice {self.name!r}: resampling to {new_sample_rate:.0f} Hz puts "
+                f"the jitter rate above the supported bound "
+                f"({MAX_JITTER_INC * new_sample_rate:.0f} Hz)")
         return Voice(
             sample_rate=new_sample_rate,
             table=self.table.resample(self.sample_rate, new_sample_rate),
