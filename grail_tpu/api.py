@@ -342,7 +342,11 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
         "batched voices must share a sample rate"
     assert all(abs(v.jitter_frequency - v0.jitter_frequency) < 1e-9 for v in voices), \
         "batched voices must share a jitter rate"
-    sr = float(sample_rate or v0.sample_rate)
+    if sample_rate and float(sample_rate) != float(v0.sample_rate):
+        # retarget voices like synthesize() does (reference resample semantics)
+        voices = [v.resampled(float(sample_rate)) for v in voices]
+        v0 = voices[0]
+    sr = float(v0.sample_rate)
     seeds = list(seeds) if seeds is not None else [0] * B
     if backend is None:
         backend = "scan" if use_scan else default_backend()

@@ -99,13 +99,21 @@ class NativeRuleset:
 _ruleset_cache: dict = {}
 
 
+def _language_key(language: Language):
+    """Content-based cache key (id() could be reused after GC)."""
+    return (language.case_sensitive,
+            tuple((r.string, r.phonemes) for r in language.rules))
+
+
 def native_transcribe(text: str, language: Language) -> Optional[List[Phoneme]]:
     """Native transcription, or None if the library isn't available."""
     if not available():
         return None
-    key = id(language)
+    key = _language_key(language)
     rs = _ruleset_cache.get(key)
     if rs is None:
+        if len(_ruleset_cache) > 64:  # bound handle lifetime
+            _ruleset_cache.clear()
         rs = _ruleset_cache[key] = NativeRuleset(language)
     return rs.transcribe(text)
 

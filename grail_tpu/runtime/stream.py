@@ -33,7 +33,7 @@ from ..synth.sequencer import expand_score
 from ..synth.synthesize import SynthState, synthesize_block
 from ..text.intonate import PhonemeElem, intonate
 from ..text.phonemes import Phoneme
-from ..text.transcribe import transcribe_chars
+from ..text.transcribe import transcribe_chars, transcribe_partial
 from ..voices import Voice, get_voice
 from ..languages import get_language
 
@@ -145,6 +145,7 @@ class StreamSession:
         self._state = SynthState.init(())
         self._lattice = _IncrementalLattice(seed)
         self._pending_chars: List[str] = []
+        self._residual = np.empty(0, np.float32)  # unserved tail of last block
 
     # -- frontend ----------------------------------------------------------
 
@@ -169,16 +170,12 @@ class StreamSession:
                     self._apply_command(kind, payload)
             return
         self._pending_chars.extend(text)
-        # transcribe all buffered chars; trailing prefix may emit silence at
-        # EOF in the raw automaton, so keep a small holdback of the longest
-        # rule length and only flush it on flush()/silence()
-        hold = max((len(r.string) for r in self.language.rules), default=1)
-        chars = self._pending_chars
-        if len(chars) <= hold:
-            return
-        head, tail = chars[:-hold], chars[-hold:]
-        phonemes = list(transcribe_chars("".join(head), self.language))
-        self._pending_chars = tail
+        # incremental automaton run: emits every match that is final
+        # regardless of future input; a trailing extendable partial match is
+        # held back until more text arrives or flush() declares end-of-input
+        phonemes, consumed = transcribe_partial(
+            "".join(self._pending_chars), self.language)
+        self._pending_chars = self._pending_chars[consumed:]
         self._append_phonemes(phonemes)
 
     def _apply_command(self, kind: str, value: str) -> None:
@@ -240,13 +237,20 @@ class StreamSession:
     # -- audio -------------------------------------------------------------
 
     def read(self, num_samples: Optional[int] = None) -> np.ndarray:
-        """Synthesize the next `num_samples` (default one block)."""
+        """Synthesize the next `num_samples` (default one block).
+
+        Synthesis advances in whole blocks; samples beyond the requested
+        count are kept in a residual buffer and served by the next read, so
+        arbitrary read sizes are gap-free."""
         n = int(num_samples or self.block)
         out = np.empty(n, np.float32)
         done = 0
         while done < n:
-            take = min(self.block, n - done)
-            out[done:done + take] = self._read_block()[:take]
+            if len(self._residual) == 0:
+                self._residual = self._read_block()
+            take = min(len(self._residual), n - done)
+            out[done:done + take] = self._residual[:take]
+            self._residual = self._residual[take:]
             done += take
         return out
 
@@ -303,6 +307,7 @@ class StreamSession:
                                  self._lattice._formant_state.state,
                                  self._lattice._amp_state.state], np.uint32),
             pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
+            residual=self._residual,
         )
         return buf.getvalue()
 
@@ -330,6 +335,8 @@ class StreamSession:
         self._lattice._formant_state.state = int(st[1])
         self._lattice._amp_state.state = int(st[2])
         self._pending_chars = list(bytes(z["pending"]).decode())
+        self._residual = np.asarray(z["residual"], np.float32) if "residual" in z \
+            else np.empty(0, np.float32)
 
     @property
     def pending_seconds(self) -> float:

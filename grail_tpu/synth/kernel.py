@@ -134,19 +134,11 @@ def kernel_geometry(B: int):
     return lane, (2 * CHUNK * LANE) // (2 * lane)
 
 
-def synth_core_pallas(params_or_elems, state: SynthState,
+def synth_core_pallas(elems: SynthesisElem, state: SynthState,
                       interpret: bool = False) -> Tuple[jnp.ndarray, SynthState]:
-    """Fused DSP core. Accepts a [T, B]-batched SynthesisElem (runs the XLA
-    prep, then the kernel) and returns (audio [T, B], new SynthState)."""
-    elems = params_or_elems
+    """Fused DSP core: XLA prep + kernel. Takes a [T, B]-batched
+    SynthesisElem and returns (audio [T, B], new SynthState)."""
     params, phase_out, seed_out = precompute_streams(elems, state)
-    return kernel_call(params, state, phase_out, seed_out, interpret)
-
-
-def kernel_call(params, state: SynthState, phase_out, seed_out,
-                interpret: bool = False) -> Tuple[jnp.ndarray, SynthState]:
-    """Invoke the kernel on an already-packed [T, 56, B] coefficient stream
-    (the batched.py path builds it in row layout directly)."""
     T, R, B = params.shape
     lane, chunk = kernel_geometry(B)
     if interpret:  # interpreter mode has no lane-width constraint (CPU tests)
@@ -202,4 +194,4 @@ def kernel_call(params, state: SynthState, phase_out, seed_out,
     return audio, new_state
 
 
-__all__ = ["synth_core_pallas", "kernel_call", "precompute_streams", "PACK_ROWS", "LANE", "CHUNK"]
+__all__ = ["synth_core_pallas", "precompute_streams", "PACK_ROWS", "LANE", "CHUNK"]

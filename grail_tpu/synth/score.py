@@ -81,7 +81,7 @@ def score_from_phoneme_elems(
     has_sound = np.zeros(Epad, bool)
     freq = np.zeros(Epad, np.float32)
     length = np.zeros(Epad, np.float32)
-    blend = np.full(Epad, 1.0, np.float32)  # avoid 0/0 in padding
+    blend = np.full(Epad, 1.0, np.float32)  # padding rows: any finite value
 
     for i, pe in enumerate(phoneme_elems):
         p = int(pe.phoneme)
@@ -90,7 +90,10 @@ def score_from_phoneme_elems(
         has_sound[i] = snd
         freq[i] = min(np.float32(pe.frequency), np.float32(0.5))
         length[i] = pe.length
-        blend[i] = pe.blend_length if pe.blend_length > 0 else 1.0
+        # blend_length 0 means "no crossfade, hold until the boundary"
+        # (reference: time/0 = inf -> alpha clamps to 1); a tiny epsilon
+        # keeps alpha = min(t/eps, 1) = 1 without inf/NaN on device
+        blend[i] = pe.blend_length if pe.blend_length > 0 else 1e-12
 
     # pure numpy on the host path: no eager device ops, no per-call compiles
     gathered = SynthesisElem(*(np.asarray(f)[idx] for f in table))

@@ -113,6 +113,67 @@ def transcribe_chars(chars: Iterable[str], language: Language) -> Iterator[Phone
         yield from buffer
 
 
+def transcribe_partial(text: str, language: Language):
+    """Incremental transcription: run the automaton over `text` but emit only
+    matches that do NOT depend on end-of-input — a trailing (possibly
+    extendable) partial match is held back. Returns (phonemes, consumed):
+    the caller keeps text[consumed:] and re-feeds it with more input later.
+
+    This is how a streaming frontend consumes the greedy longest-match
+    automaton without mis-splitting multi-character rules across feed
+    boundaries (the EOF fallbacks at src/lib.rs:1171-1179 only apply when
+    the input is truly final — see flush()).
+    """
+    rules = language.rules
+    case_sensitive = language.case_sensitive
+    out: List[Phoneme] = []
+    pos = 0
+    n = len(text)
+
+    if not rules:
+        return [Phoneme.SILENCE] * n, n
+
+    while True:
+        start = pos
+        search_min, search_max = 0, len(rules)
+        index = 0
+        while True:
+            if pos >= n:
+                return out, start  # mid-match at end of buffer: hold back
+            c = text[pos]
+            if not case_sensitive:
+                c = c.lower() if c.isascii() else c
+
+            new_min = _partition_point(
+                rules, search_min, search_max,
+                lambda r: (_nth_char(r.string, index) or "") < c
+                if _nth_char(r.string, index) is not None else True,
+            )
+            new_max = _partition_point(
+                rules, search_min, search_max,
+                lambda r: _nth_char(r.string, index) is not None
+                and _nth_char(r.string, index) <= c,
+            )
+
+            if new_min >= new_max and len(rules[search_min].string) == index:
+                # exact-prefix rule; could it extend with more input? only if
+                # the previous range still held longer rules — but the range
+                # collapsed on THIS char, so the match is final. Emit; the
+                # breaking char stays (matches the reference automaton).
+                out.extend(rules[search_min].phonemes)
+                break
+            elif new_min >= new_max:
+                out.append(Phoneme.SILENCE)
+                pos += 1  # dead end consumes the garbled char
+                break
+            else:
+                search_min, search_max = new_min, new_max
+                index += 1
+                pos += 1
+                # NOTE: no EOF fallback here — that's the held-back case
+    # unreachable
+
+
 def transcribe(text: str, language: Language, leading_silence: bool = True,
                prefer_native: bool = True) -> List[Phoneme]:
     """Transcribe a whole string to a phoneme list.
@@ -138,4 +199,4 @@ def transcribe(text: str, language: Language, leading_silence: bool = True,
     return out
 
 
-__all__ = ["transcribe", "transcribe_chars"]
+__all__ = ["transcribe", "transcribe_chars", "transcribe_partial"]
