@@ -126,6 +126,35 @@ def _stream_block(score: Score, lattice: JitterLattice, jparams, sample_rate,
     return out, state
 
 
+@functools.partial(jax.jit, static_argnames=("block", "use_pallas"))
+def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
+                        sample_rate, offsets, jitter_offsets,
+                        states: SynthState, block: int, use_pallas: bool):
+    """One tick for N concurrent sessions: scores [N, E], per-session sample
+    offsets, stacked states -> (audio [N, block], new states)."""
+    from ..synth.jitter import apply_jitter
+    from ..synth.synthesize import _block_core
+
+    jf, jdf, jdff, jda = jparams
+
+    def one(score, lattice, off, joff):
+        elems, valid = expand_score(score, sample_rate, block, offset=off)
+        return apply_jitter(elems, lattice, jf, jdf, jdff, jda,
+                            offset=joff, mask=valid), valid
+
+    elems, valid = jax.vmap(one)(scores, lattices, offsets, jitter_offsets)
+    from ..synth.elem import SynthesisElem as _SE
+
+    elems_tm = _SE(*(jnp.moveaxis(f, 0, 1) for f in elems))
+    if use_pallas:
+        from ..synth.kernel import synth_core_pallas
+
+        out, states = synth_core_pallas(elems_tm, states)
+    else:
+        out, states = _block_core(elems_tm, states)
+    return jnp.moveaxis(out, 0, 1), states
+
+
 class StreamSession:
     """Incremental text -> audio session with carried DSP state."""
 
@@ -345,4 +374,91 @@ class StreamSession:
         return max(0.0, total - self._consumed_samples / self.sample_rate)
 
 
-__all__ = ["StreamSession"]
+class StreamPool:
+    """N concurrent streaming sessions, one batched device program per tick.
+
+    The serving shape: each tick synthesizes the next `block` samples for
+    every live session in a single jit-compiled batch (Pallas kernel when N
+    is a lane multiple, associative-scan core otherwise). Session frontends
+    (feed/flush/commands/rebasing) stay per-session and host-side.
+
+    Usage:
+        pool = StreamPool(8, voice="plain", language="english")
+        pool.feed(3, "hello")
+        audio = pool.read_block()      # [8, block]
+    """
+
+    def __init__(self, n: int, voice="generic", language="generic",
+                 block: int = 1024, seeds=None, contour: bool = False,
+                 speaking_rate: float = 1.0):
+        seeds = list(seeds) if seeds is not None else list(range(n))
+        self.sessions = [
+            StreamSession(voice=voice, language=language, seed=seeds[i],
+                          block=block, contour=contour,
+                          speaking_rate=speaking_rate)
+            for i in range(n)
+        ]
+        self.n = n
+        self.block = block
+        self.sample_rate = self.sessions[0].sample_rate
+
+    def feed(self, i: int, text: str, parse_commands: bool = False) -> None:
+        self.sessions[i].feed(text, parse_commands=parse_commands)
+
+    def flush(self, i: Optional[int] = None) -> None:
+        for s in (self.sessions if i is None else [self.sessions[i]]):
+            s.flush()
+
+    def read_block(self) -> np.ndarray:
+        """Advance every session by one block: returns [N, block] audio."""
+        blk = self.block
+        E = 16
+        for s in self.sessions:
+            s._ensure_audio_horizon(blk)
+            s._rebase()
+            E = max(E, _bucket(len(s._elements)))
+        v0 = self.sessions[0].voice
+        scores = [score_from_phoneme_elems(s._elements, s.voice, pad_to=E)
+                  for s in self.sessions]
+        from ..synth.score import stack_scores
+
+        scores_b = stack_scores(scores)
+
+        inc = v0.jitter_frequency
+        cells = 16
+        for s in self.sessions:
+            need = int(np.floor((s._jitter_pos + blk + 1) * inc)) + 4
+            cells = max(cells, _bucket(need))
+        for s in self.sessions:
+            s._lattice.ensure(cells)
+        lattices = JitterLattice(
+            np.stack([s._lattice.pitch[:cells] for s in self.sessions]),
+            np.stack([s._lattice.formant[:cells] for s in self.sessions]),
+            np.stack([s._lattice.amp[:cells] for s in self.sessions]),
+        )
+
+        jparams = (jnp.float32(inc),
+                   jnp.float32(v0.jitter_delta_frequency),
+                   jnp.float32(v0.jitter_delta_formant_frequency),
+                   jnp.float32(v0.jitter_delta_amplitude))
+        offsets = jnp.asarray([s._consumed_samples for s in self.sessions],
+                              jnp.int32)
+        joffsets = jnp.asarray([s._jitter_pos for s in self.sessions], jnp.int32)
+        states = SynthState(*(jnp.stack([np.asarray(getattr(s._state, f))
+                                         for s in self.sessions])
+                              for f in SynthState._fields))
+
+        use_pallas = False  # ragged N; pallas path needs lane multiples
+        out, states = _stream_block_batch(
+            scores_b, lattices, jparams, jnp.float32(self.sample_rate),
+            offsets, joffsets, states, blk, use_pallas)
+        out = np.asarray(out, np.float32)
+
+        for i, s in enumerate(self.sessions):
+            s._state = SynthState(*(x[i] for x in states))
+            s._consumed_samples += blk
+            s._jitter_pos += blk
+        return out
+
+
+__all__ = ["StreamSession", "StreamPool"]

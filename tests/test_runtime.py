@@ -61,6 +61,24 @@ def test_stream_long_session_rebases():
     assert len(s._elements) < 80  # rebasing keeps the rolling score bounded
 
 
+def test_stream_pool_matches_solo_sessions():
+    # the batched serving path: one device program per tick for N sessions
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(4, voice="generic", language="generic", block=1024)
+    pool.feed(0, "aeae")
+    pool.feed(1, "ea")
+    pool.flush()
+    audio = np.concatenate([pool.read_block() for _ in range(30)], axis=1)
+
+    solo = StreamSession(voice="generic", language="generic", seed=0, block=1024)
+    solo.feed("aeae")
+    solo.flush()
+    ref = solo.read(30 * 1024)
+    assert sample_error_db(audio[0], ref) < -100
+    assert np.max(np.abs(audio[3])) < 1e-5  # idle session stays silent
+
+
 def test_stream_live_intonation_commands():
     # the reference's planned parser stage (src/lib.rs:1366, README.md:19):
     # inline [pitch:..]/[rate:..]/[voice:..] commands steer the live stream
