@@ -9,6 +9,7 @@ and pjit/shard_map data-parallel scaling over device meshes.
 
 __version__ = "0.1.0"
 
+from .api import synthesize, synthesize_batch, synthesize_score, text_to_score
 from .core.constants import DEFAULT_SAMPLE_RATE, NUM_FORMANTS
 from .synth.elem import SynthesisElem
 from .text.phonemes import Phoneme
