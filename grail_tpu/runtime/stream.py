@@ -135,14 +135,16 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
     from ..synth.jitter import apply_jitter
     from ..synth.synthesize import _block_core
 
-    jf, jdf, jdff, jda = jparams
+    jf, jdf, jdff, jda = jparams  # jf scalar; deltas may be per-session [N]
 
-    def one(score, lattice, off, joff):
+    def one(score, lattice, off, joff, jdf_, jdff_, jda_):
         elems, valid = expand_score(score, sample_rate, block, offset=off)
-        return apply_jitter(elems, lattice, jf, jdf, jdff, jda,
+        return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_,
                             offset=joff, mask=valid), valid
 
-    elems, valid = jax.vmap(one)(scores, lattices, offsets, jitter_offsets)
+    da = 0 if jnp.ndim(jdf) > 0 else None
+    elems, valid = jax.vmap(one, in_axes=(0, 0, 0, 0, da, da, da))(
+        scores, lattices, offsets, jitter_offsets, jdf, jdff, jda)
     from ..synth.elem import SynthesisElem as _SE
 
     elems_tm = _SE(*(jnp.moveaxis(f, 0, 1) for f in elems))
@@ -437,10 +439,18 @@ class StreamPool:
             np.stack([s._lattice.amp[:cells] for s in self.sessions]),
         )
 
+        # sessions may have switched voices live: per-session jitter deltas
+        # (jitter RATE must stay shared — it fixes the lattice schedule)
+        for s in self.sessions:
+            assert abs(s.voice.jitter_frequency - inc) < 1e-9, \
+                "pooled sessions must share a jitter rate"
         jparams = (jnp.float32(inc),
-                   jnp.float32(v0.jitter_delta_frequency),
-                   jnp.float32(v0.jitter_delta_formant_frequency),
-                   jnp.float32(v0.jitter_delta_amplitude))
+                   jnp.asarray([s.voice.jitter_delta_frequency
+                                for s in self.sessions], jnp.float32),
+                   jnp.asarray([s.voice.jitter_delta_formant_frequency
+                                for s in self.sessions], jnp.float32),
+                   jnp.asarray([s.voice.jitter_delta_amplitude
+                                for s in self.sessions], jnp.float32))
         offsets = jnp.asarray([s._consumed_samples for s in self.sessions],
                               jnp.int32)
         joffsets = jnp.asarray([s._jitter_pos for s in self.sessions], jnp.int32)
