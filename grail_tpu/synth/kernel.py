@@ -7,8 +7,9 @@ one-pole lowpass, 2-state SVF bank). The TPU decomposition:
   * Everything *feed-forward* — carrier phase (closed-form Q32 prefix sum),
     Lehmer noise (closed-form skip-ahead), polyBLEP saw, breath blend,
     filter coefficients (tan/exp approximations, the only divisions) — is
-    computed VECTORIZED on the XLA side (`precompute_streams`) and packed
-    into a [T, 56, B] coefficient stream.
+    computed VECTORIZED on the XLA side (`precompute_streams`) as seven
+    [T, 8, B] coefficient streams (separate inputs — concatenating them
+    would cost one full extra HBM pass).
 
   * Only the irreducibly *sequential* part runs in the kernel's inner loop:
 
@@ -26,9 +27,7 @@ The kernel consumes the stream in VMEM-sized chunks double-buffered by the
 Pallas pipeline, carries filter state in VMEM scratch across the sequential
 time grid, and emits audio [T, B] plus final state (streaming/continuation).
 
-Packed row layout (sublane index):
-  0..7 alpha | 8..15 d | 16..23 q1 | 24..31 q2 | 32..39 m11 | 40..47 m21 |
-  48..55 m22
+Stream order: alpha, d, q1, q2, m11, m21, m22.
 """
 
 from __future__ import annotations
@@ -46,14 +45,13 @@ from .elem import SynthesisElem
 from .synthesize import (SynthState, _polyblep, _svf_coeffs, block_noise,
                          carrier_phase)
 
-PACK_ROWS = 56
 LANE = 128          # batch tile (lane width)
 CHUNK = 256         # time samples per grid step (VMEM block)
 
 
 def precompute_streams(elems: SynthesisElem, state: SynthState):
-    """XLA-side feed-forward prep: [T, B] elems -> packed [T, 56, B] coeff
-    stream + advanced (phase, seed) state. All ops fuse into a few
+    """XLA-side feed-forward prep: [T, B] elems -> seven [T, 8, B] coeff
+    streams + advanced (phase, seed) state. All ops fuse into a few
     elementwise passes; the kernel never divides or evaluates polynomials.
     """
     T, B = elems.frequency.shape
@@ -78,11 +76,14 @@ def precompute_streams(elems: SynthesisElem, state: SynthState):
     q2 = (2.0 * a3) * tamp
 
     rows = [alpha, d, q1, q2, m11, jnp.broadcast_to(m21, alpha.shape), m22]
-    packed = jnp.concatenate([jnp.moveaxis(r, -1, 1) for r in rows], axis=1)
-    return packed.astype(jnp.float32), phase_out, seed_out
+    # seven separate [T, 8, B] streams (NOT concatenated: a packed array
+    # would cost one full extra HBM pass; the kernel takes seven inputs)
+    streams = tuple(jnp.moveaxis(r, -1, 1).astype(jnp.float32) for r in rows)
+    return streams, phase_out, seed_out
 
 
-def _synth_kernel(params_ref, lp_in, b_in, c_in,
+def _synth_kernel(alpha_ref, d_ref, q1_ref, q2_ref, m11_ref, m21_ref, m22_ref,
+                  lp_in, b_in, c_in,
                   audio_ref, lp_out, b_out, c_out,
                   lp_scr, b_scr, c_scr):
     tt = pl.program_id(1)
@@ -95,13 +96,13 @@ def _synth_kernel(params_ref, lp_in, b_in, c_in,
         c_scr[...] = c_in[...]
 
     def step(i, _):
-        alpha = params_ref[i, 0:8, :]
-        d = params_ref[i, 8:16, :]
-        q1 = params_ref[i, 16:24, :]
-        q2 = params_ref[i, 24:32, :]
-        m11 = params_ref[i, 32:40, :]
-        m21 = params_ref[i, 40:48, :]
-        m22 = params_ref[i, 48:56, :]
+        alpha = alpha_ref[i]
+        d = d_ref[i]
+        q1 = q1_ref[i]
+        q2 = q2_ref[i]
+        m11 = m11_ref[i]
+        m21 = m21_ref[i]
+        m22 = m22_ref[i]
 
         lp = alpha * lp_scr[...] + d
         lp_scr[...] = lp
@@ -116,7 +117,7 @@ def _synth_kernel(params_ref, lp_in, b_in, c_in,
         audio_ref[i, :] = jnp.sum(nb + b, axis=0) * 0.25
         return 0
 
-    jax.lax.fori_loop(0, params_ref.shape[0], step, 0)
+    jax.lax.fori_loop(0, alpha_ref.shape[0], step, 0)
 
     @pl.when(tt == nt - 1)
     def _store_state():
@@ -138,13 +139,12 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
                       interpret: bool = False) -> Tuple[jnp.ndarray, SynthState]:
     """Fused DSP core: XLA prep + kernel. Takes a [T, B]-batched
     SynthesisElem and returns (audio [T, B], new SynthState)."""
-    params, phase_out, seed_out = precompute_streams(elems, state)
-    T, R, B = params.shape
+    streams, phase_out, seed_out = precompute_streams(elems, state)
+    T, _, B = streams[0].shape
     lane, chunk = kernel_geometry(B)
     if interpret:  # interpreter mode has no lane-width constraint (CPU tests)
         lane = B
         chunk = min(chunk, T)
-    assert R == PACK_ROWS, R
     assert T % chunk == 0, (T, chunk)
     assert B % lane == 0, (B, lane)
     nbt = B // lane
@@ -156,6 +156,9 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
 
     fvec = lambda: pl.BlockSpec((NUM_FORMANTS, lane), lambda bt, tt: (0, bt),
                                 memory_space=pltpu.VMEM)
+    stream_spec = lambda: pl.BlockSpec((chunk, NUM_FORMANTS, lane),
+                                       lambda bt, tt: (tt, 0, bt),
+                                       memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((T, B), jnp.float32),
         jax.ShapeDtypeStruct((NUM_FORMANTS, B), jnp.float32),
@@ -165,11 +168,7 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
     audio, lp_o, fb_o, fc_o = pl.pallas_call(
         _synth_kernel,
         grid=(nbt, nt),
-        in_specs=[
-            pl.BlockSpec((chunk, PACK_ROWS, lane), lambda bt, tt: (tt, 0, bt),
-                         memory_space=pltpu.VMEM),
-            fvec(), fvec(), fvec(),
-        ],
+        in_specs=[stream_spec() for _ in range(7)] + [fvec(), fvec(), fvec()],
         out_specs=(
             pl.BlockSpec((chunk, lane), lambda bt, tt: (tt, bt),
                          memory_space=pltpu.VMEM),
@@ -182,7 +181,7 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
             pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
         ],
         interpret=interpret,
-    )(params, lp, fb, fc)
+    )(*streams, lp, fb, fc)
 
     new_state = SynthState(
         phase=phase_out,
@@ -194,4 +193,4 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
     return audio, new_state
 
 
-__all__ = ["synth_core_pallas", "precompute_streams", "PACK_ROWS", "LANE", "CHUNK"]
+__all__ = ["synth_core_pallas", "precompute_streams", "LANE", "CHUNK"]
