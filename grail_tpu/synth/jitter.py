@@ -112,12 +112,17 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
     aw = jax.lax.dynamic_slice(jnp.asarray(lattice.amp), (i0, 0),
                                (Kw, lattice.amp.shape[1]))
 
+    # precision=HIGHEST: exact one-hot selection (TPU MXU default precision
+    # would quantize the lattice values — see sequencer.py)
+    HI = jax.lax.Precision.HIGHEST
+
     def lerp(win):
-        cur = jnp.matmul(onehot, win, preferred_element_type=jnp.float32)
-        nxt = jnp.matmul(onehot_n, win, preferred_element_type=jnp.float32)
+        cur = jnp.matmul(onehot, win, precision=HI)
+        nxt = jnp.matmul(onehot_n, win, precision=HI)
         return cur * (1.0 - phi) + nxt * phi
 
-    pitch = (onehot @ pw) * (1.0 - phi[:, 0]) + (onehot_n @ pw) * phi[:, 0]
+    pitch = (jnp.matmul(onehot, pw[:, None], precision=HI)[:, 0] * (1.0 - phi[:, 0])
+             + jnp.matmul(onehot_n, pw[:, None], precision=HI)[:, 0] * phi[:, 0])
     formant = lerp(fw)
     amp = lerp(aw)
     return pitch, formant, amp

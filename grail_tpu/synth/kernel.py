@@ -84,16 +84,19 @@ def precompute_streams(elems: SynthesisElem, state: SynthState):
 
 def _synth_kernel(alpha_ref, d_ref, q1_ref, q2_ref, m11_ref, m21_ref, m22_ref,
                   lp_in, b_in, c_in,
-                  audio_ref, lp_out, b_out, c_out,
-                  lp_scr, b_scr, c_scr):
+                  audio_ref, lp_out, b_out, c_out):
+    # Filter state lives in the REVISITED OUTPUT blocks (index map constant
+    # along the sequential time dimension) — the canonical Pallas
+    # accumulator pattern. Carrying it in scratch across grid steps
+    # miscompiled nondeterministically on this toolchain (state corrupted
+    # under some compilations).
     tt = pl.program_id(1)
-    nt = pl.num_programs(1)
 
     @pl.when(tt == 0)
     def _load_state():
-        lp_scr[...] = lp_in[...]
-        b_scr[...] = b_in[...]
-        c_scr[...] = c_in[...]
+        lp_out[...] = lp_in[...]
+        b_out[...] = b_in[...]
+        c_out[...] = c_in[...]
 
     def step(i, _):
         alpha = alpha_ref[i]
@@ -104,26 +107,20 @@ def _synth_kernel(alpha_ref, d_ref, q1_ref, q2_ref, m11_ref, m21_ref, m22_ref,
         m21 = m21_ref[i]
         m22 = m22_ref[i]
 
-        lp = alpha * lp_scr[...] + d
-        lp_scr[...] = lp
+        lp = alpha * lp_out[...] + d
+        lp_out[...] = lp
 
-        b = b_scr[...]
-        c = c_scr[...]
+        b = b_out[...]
+        c = c_out[...]
         nb = m11 * b - m21 * c + q1 * lp
         nc = m21 * b + m22 * c + q2 * lp
-        b_scr[...] = nb
-        c_scr[...] = nc
+        b_out[...] = nb
+        c_out[...] = nc
 
         audio_ref[i, :] = jnp.sum(nb + b, axis=0) * 0.25
         return 0
 
     jax.lax.fori_loop(0, alpha_ref.shape[0], step, 0)
-
-    @pl.when(tt == nt - 1)
-    def _store_state():
-        lp_out[...] = lp_scr[...]
-        b_out[...] = b_scr[...]
-        c_out[...] = c_scr[...]
 
 
 def kernel_geometry(B: int):
@@ -165,6 +162,12 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
         jax.ShapeDtypeStruct((NUM_FORMANTS, B), jnp.float32),
         jax.ShapeDtypeStruct((NUM_FORMANTS, B), jnp.float32),
     )
+    # the time grid dimension MUST iterate sequentially (state carried in
+    # scratch); declare it 'arbitrary' so Mosaic never reorders or
+    # parallelizes it — without this the carry corrupts under some
+    # compilations
+    compiler_params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
     audio, lp_o, fb_o, fc_o = pl.pallas_call(
         _synth_kernel,
         grid=(nbt, nt),
@@ -175,12 +178,8 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
             fvec(), fvec(), fvec(),
         ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
-            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
-            pltpu.VMEM((NUM_FORMANTS, lane), jnp.float32),
-        ],
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*streams, lp, fb, fc)
 
     new_state = SynthState(

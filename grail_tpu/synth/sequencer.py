@@ -72,12 +72,16 @@ def expand_score(score: Score, sample_rate, num_samples: int,
 
     onehot = jax.nn.one_hot(j, E, dtype=jnp.float32)           # [T, E]
 
+    # precision=HIGHEST is REQUIRED for exactness: the TPU MXU's default
+    # matmul precision is bf16-ish, which would quantize every gathered
+    # parameter by ~0.4% (measured -40 dB broadband error vs CPU)
     def sel_scalar(tab):                                       # [E] -> [T]
-        return onehot @ tab.astype(jnp.float32)
+        return jnp.matmul(onehot, tab.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
 
     def sel_field(tab):                                        # [E, F] -> [T, F]
         return jnp.matmul(onehot, tab.astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
+                          precision=jax.lax.Precision.HIGHEST)
 
     # next-element tables: row m holds element min(m+1, E-1)
     def shift(tab):
@@ -168,8 +172,9 @@ def expand_frequency(score: Score, sample_rate, num_samples: int, offset=0):
     has_next = (j + 1) < E
     onehot = jax.nn.one_hot(j, E, dtype=jnp.float32)
 
-    def sel_scalar(tab):
-        return onehot @ tab.astype(jnp.float32)
+    def sel_scalar(tab):  # precision must match expand_score's (exactness)
+        return jnp.matmul(onehot, tab.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
 
     def shift(tab):
         return jnp.concatenate([tab[1:], tab[-1:]], axis=0)
