@@ -80,6 +80,28 @@ def test_whole_sentence_english():
     assert len(a) > 44100  # non-trivial sentence length
 
 
+def test_espanol_language():
+    es = languages.get_language("espanol")
+    assert [p.name for p in transcribe("hola", es, leading_silence=False)] == \
+        ["O", "L", "A"]  # silent h
+    assert [p.name for p in transcribe("chica", es, leading_silence=False)] == \
+        ["STOP", "T", "SH", "I", "STOP", "K", "A"]
+    a = synthesize("buenos dias", voice="plain", language="espanol", contour=True)
+    assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
+
+
+def test_voice_variants_differ():
+    from grail_tpu.utils import sample_error_db
+
+    outs = {n: synthesize("aeae", voice=n, seed=1)
+            for n in ("plain", "bright", "deep", "whisper")}
+    names = list(outs)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            assert sample_error_db(outs[names[i]], outs[names[j]]) > -30, \
+                (names[i], names[j])
+
+
 def test_resampled_voice():
     # reference resampling capability (src/lib.rs:20-21, 418-440) + the
     # synthesize_resampled placeholder: similar output at a new sample rate
