@@ -42,6 +42,16 @@ def main():
             lambda: synthesize_batch(
                 [args.text],
                 backend="pallas" if args.tpu else "pallas_interpret")[0],
+        "fused" if args.tpu else "fused_interpret":
+            lambda: synthesize_batch(
+                [args.text],
+                backend="fused" if args.tpu else "fused_interpret")[0],
+        # the B=1 call above exercises the split path (S up to 128); also
+        # pin the unsplit fused kernel via a 128-lane batch
+        "fused_unsplit" if args.tpu else "fused_unsplit_interpret":
+            lambda: synthesize_batch(
+                [args.text] * 128, seeds=[0] * 128,
+                backend="fused" if args.tpu else "fused_interpret")[0],
     }
     for name, fn in cases.items():
         audio = fn()

@@ -105,14 +105,24 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
                      T: int, backend: str = "xla"):
     """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T].
 
-    backend: 'pallas' (fused TPU kernel), 'pallas_interpret' (same kernel,
-    interpreter mode — CPU testing), 'xla' (associative-scan core), or
-    'scan' (lax.scan reference core).
+    backend: 'fused' (fully-fused TPU kernel: expansion + jitter + DSP in
+    one Pallas program, zero per-sample HBM input), 'fused_interpret' (same,
+    interpreter mode — CPU testing), 'pallas' (round-1 streaming kernel:
+    XLA-side prep + sequential-core kernel), 'pallas_interpret', 'xla'
+    (associative-scan core), or 'scan' (lax.scan reference core).
     """
     from .synth.synthesize import SynthState, _block_core
 
     jf, jdf, jdff, jda = jparams
     B = scores.length.shape[0]
+
+    if backend.startswith("fused"):
+        from .synth.kernel_fused import build_tables, synth_fused_pallas
+
+        tables = build_tables(scores, lattices, jparams, sample_rate)
+        audio, _ = synth_fused_pallas(
+            tables, T, interpret=backend == "fused_interpret")
+        return audio.T                                       # [B, T]
 
     if backend == "scan":
         da = 0 if jnp.ndim(jdf) > 0 else None
@@ -274,6 +284,83 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     return jnp.moveaxis(segs, 0, 1).reshape(B, T)
 
 
+@functools.partial(jax.jit, static_argnames=("T", "S", "interpret"))
+def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
+                           sample_rate, T: int, S: int,
+                           interpret: bool = False):
+    """Overlap-save split on the fully-fused kernel: B utterances x S time
+    segments run in B*S kernel lanes, one pallas_call for everything.
+
+    Same continuation scheme as _synth_jit_split (WARMUP pre-roll re-derives
+    filter state; carrier phase and RNG continue EXACTLY), but the phase
+    pre-pass integrates in Q31 — bit-identical to the fused kernel's own
+    int32 fixed-point accumulator, so segment seams are exact. The
+    frequency stream here MUST stay arithmetic-identical to the kernel's
+    in-VMEM expansion (expand_frequency + masked pitch jitter replicate
+    kernel phases A-C for the scalar frequency field).
+    """
+    from .core.constants import LEHMER_A
+    from .core.rng import lehmer_affine
+    from .synth.kernel_fused import (build_tables, phase_q31_pre_block,
+                                     synth_fused_pallas)
+    from .synth.synthesize import SynthState
+
+    jf, jdf, jdff, jda = jparams
+    B = scores.length.shape[0]
+    Ts = T // S
+    W = WARMUP
+    Text = Ts + W
+    blk = BLOCK_SIZE
+    per_b = jnp.ndim(jdf) > 0
+
+    # ---- pre-pass: Q31 phase at block boundaries (exact integral of the
+    # same frequency stream the fused kernel will synthesize)
+    q_at_block = phase_q31_pre_block(scores, lattices, jf, jdf,
+                                     sample_rate, T, blk,
+                                     interpret=interpret)       # [nb, B]
+
+    seg_ids = jnp.arange(S)
+    g0 = seg_ids * Ts - W                                     # [S]
+    q_seg = q_at_block[jnp.maximum(g0, 0) // blk]             # [S, B] uint32
+    q_seg = jnp.where((seg_ids == 0)[:, None], jnp.uint32(0), q_seg)
+    phase_q31 = (q_seg & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    phase_q31 = phase_q31.reshape(S * B)
+
+    # Lehmer seed at g0 (closed form); s=0 uses the negative-skip seed so the
+    # pre-roll lands exactly on state 0 at the first real sample
+    powA, Sv = lehmer_affine(T)
+    seed_pos = jnp.asarray(Sv, jnp.uint32)[jnp.maximum(g0, 0)]          # [S]
+    a_inv_w = pow(LEHMER_A, -W, 1 << 32)
+    s_w = int(Sv[W])
+    seed_neg = jnp.uint32((-(a_inv_w * s_w)) & 0xFFFFFFFF)
+    seed0 = jnp.where(seg_ids == 0, seed_neg, seed_pos)                  # [S]
+    seed0 = jnp.broadcast_to(seed0[:, None], (S, B)).reshape(S * B)
+
+    # ---- tile utterances across segments (s-major lanes)
+    def tile(x):
+        return jnp.concatenate([x] * S, axis=0)
+
+    scores_t = jax.tree.map(tile, scores)
+    lattices_t = jax.tree.map(tile, lattices)
+    jdf_t, jdff_t, jda_t = (tile(x) if per_b else x for x in (jdf, jdff, jda))
+    g0_lane = jnp.repeat(g0, B)                                          # [S*B]
+
+    state0 = SynthState(
+        phase=jnp.zeros((S * B,), jnp.float32),  # overridden by phase_q31
+        filter_state_a=jnp.zeros((S * B, 8), jnp.float32),
+        filter_state_b=jnp.zeros((S * B, 8), jnp.float32),
+        filter_state_c=jnp.zeros((S * B, 8), jnp.float32),
+        seed=seed0,
+    )
+    tables = build_tables(scores_t, lattices_t, (jf, jdf_t, jdff_t, jda_t),
+                          sample_rate, g0=g0_lane)
+    full, _ = synth_fused_pallas(tables, Text, state=state0,
+                                 phase_q31=phase_q31,
+                                 interpret=interpret)        # [Text, S*B]
+    segs = full[W:].T.reshape(S, B, Ts)
+    return jnp.moveaxis(segs, 0, 1).reshape(B, T)
+
+
 def synthesize_score(score: Score, voice, seed: int = 0,
                      sample_rate: Optional[float] = None,
                      use_scan: bool = False,
@@ -306,11 +393,12 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
 
 
 def default_backend() -> str:
-    """'pallas' on real TPU hardware, 'xla' elsewhere."""
+    """'fused' (fully-fused Pallas kernel) on real TPU hardware, 'xla'
+    elsewhere."""
     import jax
 
     try:
-        return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+        return "fused" if jax.default_backend() not in ("cpu", "gpu") else "xla"
     except Exception:
         return "xla"
 
@@ -361,11 +449,21 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     Ns = [_score_num_samples(s, sr) for s in scores]
     T = _round_up(max(max(Ns), 1), 4096)
 
+    # the fused kernel's two-row-per-chunk selection needs every element to
+    # span >= CHUNK_F samples; pathological scores fall back to the
+    # streaming-kernel path (identical semantics, XLA-side expansion)
+    if backend.startswith("fused"):
+        from .synth.kernel_fused import fused_supported
+
+        if not fused_supported(stack_scores(scores), sr):
+            backend = ("pallas_interpret" if backend.endswith("interpret")
+                       else "pallas")
+
     # overlap-save split: fill the 128 kernel lanes even for small batches
     # by splitting each utterance's time axis (see _synth_jit_split).
-    # measured at B=64: S=2 (128 lanes, no padding) 3856x vs unsplit 3124x
+    # measured at B=64: S=2 (128 lanes, no padding) beats unsplit + padding
     S = 1
-    if backend == "pallas" and B < 128 and 128 % B == 0:
+    if backend in ("pallas", "fused") and B < 128 and 128 % B == 0:
         S = 128 // B
         while S > 1 and _round_up(max(max(Ns), 1), S * BLOCK_SIZE) // S < 2 * WARMUP:
             S //= 2
@@ -375,7 +473,7 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
         T = _round_up(max(max(Ns), 1), S * BLOCK_SIZE)
 
     Bp = B
-    if backend.startswith("pallas") and S == 1:
+    if backend.startswith(("pallas", "fused")) and S == 1:
         from .synth.kernel import LANE
 
         Bp = _round_up(B, LANE)
@@ -398,8 +496,10 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                    jnp.float32(v0.jitter_delta_formant_frequency),
                    jnp.float32(v0.jitter_delta_amplitude))
     if S > 1:
-        out = np.asarray(_synth_jit_split(batched, lattices, jparams,
-                                          jnp.float32(sr), T, S))
+        split_fn = (_synth_jit_split_fused if backend == "fused"
+                    else _synth_jit_split)
+        out = np.asarray(split_fn(batched, lattices, jparams,
+                                  jnp.float32(sr), T, S))
     else:
         out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
                                           jnp.float32(sr), T, backend))

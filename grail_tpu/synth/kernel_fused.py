@@ -1,0 +1,746 @@
+"""Fully-fused Pallas TPU kernel: Score -> audio with zero per-sample HBM input.
+
+The round-1 kernel (`kernel.py`) ran score expansion, jitter, and coefficient
+derivation on the XLA side, materializing seven [T, 8, B] f32 streams in HBM
+that the kernel re-read — 56 f32 of HBM traffic in per 1 f32 of audio out
+(~450 B/sample with the XLA-side writes), leaving ~10x of HBM-roofline
+headroom on the table. This kernel moves the ENTIRE per-sample pipeline
+(reference chain src/lib.rs:813-953 sequencer + :723-805 jitter +
+:497-578 synthesis) into VMEM:
+
+  inputs per batch tile (constant over the time grid, fetched once):
+    * element tables        [E, (8,) lane]   — the Score itself
+    * jitter value-noise lattices [W, (8,) lane]
+    * per-chunk Lehmer skip tables, params, carried DSP state
+  output per grid step: audio [chunk, lane]  — 4 B/sample, nothing else.
+
+Within each (batch_tile, time_chunk) grid step:
+
+  A. indices        — per-sample element index j by boundary compare-count
+                      (exactly sequencer.expand_score's closed form)
+  B. row extraction — elements are >> chunk samples long, so j takes at most
+                      two values per chunk per lane; the needed table rows
+                      (cur/next at chunk-start and chunk-end j) are extracted
+                      with one rolled masked-reduction pass over E. Same for
+                      the three jitter lattices (inc*chunk < 1 cell).
+  C. vectorized prep — blend-alpha, 4-case sound mask, silent replacement,
+                      value-noise lerp + jitter, Q31 fixed-point carrier
+                      phase (int32 wraparound cumsum = exact mod-1), polyBLEP
+                      saw, closed-form Lehmer noise (int32 wrap multiply),
+                      filter coefficients -> seven [chunk, 8, lane] streams
+                      in VMEM scratch. All vectorized over the chunk.
+  D. sequential loop — only the irreducible recurrence (one-pole lowpass +
+                      SVF bank) runs per-sample, ~15 VPU ops on [8, lane],
+                      identical to the round-1 kernel's inner loop.
+
+Per-lane sample offsets (`g0`) and initial (phase, seed) make the same kernel
+serve the batch path (g0=0), the overlap-save split path (per-lane segment
+offsets, exact Q31 phase + Lehmer-skip-ahead continuation), and streaming
+(carried state in revisited output blocks).
+
+Numerics vs the XLA paths: everything is the same f32 arithmetic except the
+carrier phase accumulates in Q31 (int32) instead of Q32 (uint32) — a 2^-32
+per-sample quantization difference, ~1e-6 cycles over a full utterance,
+orders of magnitude below the -60 dB fidelity budget (validated in
+tests/test_fused.py).
+
+Preconditions (checked host-side by `fused_supported`): every nonzero score
+element spans >= CHUNK_F samples, and the jitter rate satisfies
+inc * CHUNK_F < 1 (both hold by construction for all presets: elements are
+~0.1-0.8 s vs CHUNK_F = 2.9 ms; MAX_JITTER_INC * 128 = 0.256).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.approx import exp_approx, tan_approx
+from ..core.constants import NUM_FORMANTS
+from ..core.rng import lehmer_affine
+from .score import Score
+from .synthesize import SynthState
+
+LANE_F = 128     # batch tile (lane width)
+CHUNK_F = 128    # time samples per grid step
+
+_Q31 = 2147483648.0          # 2^31
+_MASK31 = 0x7FFFFFFF
+_MIN_LAT_ROWS = 16           # lattices padded to at least this many rows
+
+
+def _n_lat_rows(chunk: int) -> int:
+    """Lattice rows a kernel must hold per chunk: the exact-real index span
+    ceil(chunk*inc), +-1 f32-rounding slack on both the per-sample floor and
+    the scalar base floor, +1 for the lerp's next row, +2 margin."""
+    import math
+
+    from .jitter import MAX_JITTER_INC
+
+    return int(math.ceil(chunk * MAX_JITTER_INC)) + 6
+
+
+class FusedTables(NamedTuple):
+    """Kernel-layout inputs (all small; [..., B] trailing batch).
+
+    Element fields are PACKED so in-kernel row extraction issues one wide
+    FMA per (element, row) instead of dozens of tiny [1, lane] ops:
+    `scal` stacks the five scalar per-element values on the sublane axis,
+    `vec` stacks the six 8-wide fields into 48 sublanes.
+    """
+
+    n: jnp.ndarray        # [E, B] i32  element end-sample boundaries
+    scal: jnp.ndarray     # [E, 8, B] f32 rows: freq, cum_end_time,
+                          #   blend_length, has_sound, end_sample(f32), 0...
+    vec: jnp.ndarray      # [E, 48, B] f32: ff, bw, smooth, breath, turb, amp
+    latp: jnp.ndarray     # [W, B] f32  pitch value-noise lattice (pre-shifted)
+    latf: jnp.ndarray     # [W, 8, B]   formant-freq lattice (pre-shifted)
+    lata: jnp.ndarray     # [W, 8, B]   amplitude lattice (pre-shifted)
+    par: jnp.ndarray      # [8, B] f32  rows: inc, jdf, jdff, jda, dt, 0...
+    aux: jnp.ndarray      # [8, B] i32  rows: g0 (per-lane sample offset),
+                          #             lattice shift = floor(g0*inc), 0...
+    inc: jnp.ndarray      # [1, 1] f32  jitter rate (SMEM scalar; shared)
+
+
+def build_tables(score: Score, lattice, jparams, sample_rate,
+                 g0=None) -> FusedTables:
+    """Score [B, E] + JitterLattice [B, W(,8)] -> kernel-layout tables.
+
+    Pure cheap [E]/[W]-sized ops; safe to trace inside jit.
+    """
+    sr = jnp.float32(sample_rate)
+    jf, jdf, jdff, jda = jparams
+    B, E = np.shape(score.length)[:2] if hasattr(score.length, "shape") else (
+        score.length.shape[0], score.length.shape[1])
+    B = score.length.shape[0]
+
+    C = jnp.cumsum(jnp.asarray(score.length, jnp.float32), axis=-1)   # [B, E]
+    n = jnp.floor(C * sr).astype(jnp.int32)
+
+    def t2(x):   # [B, E] -> [E, B]
+        return jnp.asarray(x, jnp.float32).T
+
+    def t3(x):   # [B, E, 8] -> [E, 8, B]
+        return jnp.moveaxis(jnp.asarray(x, jnp.float32), 0, -1)
+
+    def row(x):  # scalar or [B] -> [B]
+        return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (B,))
+
+    dt = jnp.float32(1.0) / sr
+    par = jnp.stack([row(jf), row(jdf), row(jdff), row(jda), row(dt)]
+                    + [jnp.zeros(B, jnp.float32)] * 3)                # [8, B]
+    if g0 is None:
+        g0 = jnp.zeros(B, jnp.int32)
+    g0 = jnp.broadcast_to(jnp.asarray(g0, jnp.int32), (B,))
+
+    # Pre-shift the jitter lattices by each lane's g0 so the kernel's window
+    # of needed rows becomes computable from the grid position alone
+    # (floor((g0+t)*inc) - floor(g0*inc) is within +-1 of floor(t*inc), plus
+    # f32 slack — see _KPAD). shifted[w, lane] = orig[w + shift_lane, lane].
+    inc_f = jnp.float32(jf)
+    shift = jnp.floor(g0.astype(jnp.float32) * inc_f).astype(jnp.int32)
+    aux = jnp.concatenate([g0[None], shift[None],
+                           jnp.zeros((6, B), jnp.int32)], axis=0)
+
+    latp = t2(lattice.pitch)                                   # [W, B]
+    latf = t3(lattice.formant)                                 # [W, 8, B]
+    lata = t3(lattice.amp)
+    W = latp.shape[0]
+    Wp = max(W, _MIN_LAT_ROWS)
+    if Wp > W:                                # tiny utterances: edge-pad rows
+        latp = jnp.concatenate(
+            [latp, jnp.broadcast_to(latp[-1:], (Wp - W,) + latp.shape[1:])], 0)
+        latf = jnp.concatenate(
+            [latf, jnp.broadcast_to(latf[-1:], (Wp - W,) + latf.shape[1:])], 0)
+        lata = jnp.concatenate(
+            [lata, jnp.broadcast_to(lata[-1:], (Wp - W,) + lata.shape[1:])], 0)
+    rows_w = jnp.arange(Wp, dtype=jnp.int32)
+    idx = jnp.clip(rows_w[:, None] + shift[None, :], 0, Wp - 1)  # [Wp, B]
+    latp = jnp.take_along_axis(latp, idx, axis=0)
+    latf = jnp.take_along_axis(latf, idx[:, None, :].repeat(8, axis=1), axis=0)
+    lata = jnp.take_along_axis(lata, idx[:, None, :].repeat(8, axis=1), axis=0)
+
+    zeros_e = jnp.zeros((score.length.shape[1], B), jnp.float32)
+    scal = jnp.stack([
+        t2(score.elem.frequency), t2(C), t2(score.blend_length),
+        t2(score.has_sound.astype(jnp.float32)), n.T.astype(jnp.float32),
+        zeros_e, zeros_e, zeros_e,
+    ], axis=1)                                                 # [E, 8, B]
+    vec = jnp.concatenate([
+        t3(score.elem.formant_freq), t3(score.elem.formant_bw),
+        t3(score.elem.formant_smooth), t3(score.elem.formant_breath),
+        t3(score.elem.formant_turb), t3(score.elem.formant_amp),
+    ], axis=1)                                                 # [E, 48, B]
+
+    return FusedTables(
+        n=n.T.astype(jnp.int32), scal=scal, vec=vec,
+        latp=latp, latf=latf, lata=lata, par=par, aux=aux,
+        inc=jnp.reshape(inc_f, (1, 1)),
+    )
+
+
+def _cumsum_i32(x):
+    """Inclusive cumsum of int32 [chunk, lane] along axis 0 (wraparound adds),
+    via log2(chunk) shift-and-add steps (Mosaic-friendly, no gathers)."""
+    n = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, shift=s, axis=0)
+        x = x + jnp.where(rows >= s, shifted, 0)
+        s *= 2
+    return x
+
+
+def _fused_kernel(n_ref, scal_ref, vec_ref,
+                  latp_ref, latf_ref, lata_ref, par_ref, aux_ref, leh_ref,
+                  inc_ref, sf_in, si_in,
+                  audio_ref, sf_out, si_out,
+                  s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22):
+    E = n_ref.shape[0]
+    W = latp_ref.shape[0]
+    chunk, lane = audio_ref.shape
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _load_state():
+        sf_out[...] = sf_in[...]
+        si_out[...] = si_in[...]
+
+    # ---- A: element index at chunk ends (sequencer closed form) ----------
+    g0 = aux_ref[0][None, :]                                   # [1, lane] i32
+    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
+    k1 = kk + (tt * chunk + 1) + g0                            # [chunk, lane]
+    k1_first = k1[0:1]
+    k1_last = k1[chunk - 1:chunk]
+
+    def cnt_body(e, carry):
+        ja, jb = carry
+        ne = n_ref[e][None, :]
+        return (ja + (ne < k1_first).astype(jnp.int32),
+                jb + (ne < k1_last).astype(jnp.int32))
+
+    ja, jb = jax.lax.fori_loop(
+        0, E, cnt_body,
+        (jnp.zeros((1, lane), jnp.int32), jnp.zeros((1, lane), jnp.int32)))
+    Em1 = E - 1
+    ja_c = jnp.minimum(ja, Em1)
+    jb_c = jnp.minimum(jb, Em1)
+    jan = jnp.minimum(ja_c + 1, Em1)
+    jbn = jnp.minimum(jb_c + 1, Em1)
+
+    # ---- B: row extraction — packed tables, one wide FMA per (e, row) ----
+    z8 = jnp.zeros((NUM_FORMANTS, lane), jnp.float32)
+    zv = jnp.zeros((6 * NUM_FORMANTS, lane), jnp.float32)
+    z1 = jnp.zeros((1, lane), jnp.float32)
+
+    def row_body(e, carry):
+        sc4, vc4 = carry
+        ma = (ja_c == e).astype(jnp.float32)
+        mb = (jb_c == e).astype(jnp.float32)
+        mna = (jan == e).astype(jnp.float32)
+        mnb = (jbn == e).astype(jnp.float32)
+        sc = scal_ref[e]                                       # [8, lane]
+        vc = vec_ref[e]                                        # [48, lane]
+        return ((sc4[0] + ma * sc, sc4[1] + mb * sc,
+                 sc4[2] + mna * sc, sc4[3] + mnb * sc),
+                (vc4[0] + ma * vc, vc4[1] + mb * vc,
+                 vc4[2] + mna * vc, vc4[3] + mnb * vc))
+
+    sc4, vc4 = jax.lax.fori_loop(
+        0, E, row_body, ((z8,) * 4, (zv,) * 4))
+    sc_a, sc_b, sc_an, sc_bn = sc4
+    vec_a, vec_b, vec_an, vec_bn = vc4
+    # scal rows: 0 freq, 1 cum_end, 2 blend_len, 3 has_sound, 4 end_sample
+    fq4 = (sc_a[0:1], sc_b[0:1], sc_an[0:1], sc_bn[0:1])
+    cum2 = (sc_a[1:2], sc_b[1:2])
+    bl2 = (sc_a[2:3], sc_b[2:3])
+    hs4 = (sc_a[3:4], sc_b[3:4], sc_an[3:4], sc_bn[3:4])
+    n_ja = sc_a[4:5]                                           # [1, lane] f32
+
+    # ---- B': lattice rows — scalar-indexed window (no loop over W).
+    # The lattices are pre-shifted per lane by floor(g0*inc) (build_tables),
+    # so every lane's needed rows sit in a window whose base follows from
+    # the grid position alone: floor((g0+t)*inc) - floor(g0*inc) is within
+    # +-1 of floor(t*inc) (exact reals), +-1 more for f32 rounding.
+    inc_s = inc_ref[0, 0]
+    nlat = _n_lat_rows(chunk)
+    t01f = (tt * chunk + 1).astype(jnp.float32)
+    base = jnp.clip(jnp.floor(t01f * inc_s).astype(jnp.int32) - 2,
+                    0, W - nlat)
+    prow = [latp_ref[base + r][None, :] for r in range(nlat)]
+    frow = [latf_ref[base + r] for r in range(nlat)]
+    arow = [lata_ref[base + r] for r in range(nlat)]
+    lat_shift = aux_ref[1][None, :]                            # [1, lane]
+
+    # ---- C: vectorized per-sample prep ------------------------------------
+    k1f = k1.astype(jnp.float32)
+    dt = par_ref[4][None, :]
+
+    # element blend (sequencer 4-case pick, exactly expand_score's formulas)
+    # per-sample element index: j stays at ja while k1 <= n[ja] — the chunk
+    # meets at most one distinct boundary (host-checked by fused_supported)
+    m_el = k1f <= n_ja                                         # [chunk, lane]
+    m3 = m_el[:, None, :]
+    j2 = jnp.where(m_el, ja, jb)                               # unclipped
+    has_next = j2 < Em1
+
+    def selv(a_row, b_row):
+        return jnp.where(m3, a_row[None], b_row[None])         # [chunk,8,lane]
+
+    F = NUM_FORMANTS
+    cur_fr = jnp.where(m_el, fq4[0], fq4[1])
+    nxt_fr = jnp.where(m_el, fq4[2], fq4[3])
+    C_j = jnp.where(m_el, cum2[0], cum2[1])
+    bl_j = jnp.where(m_el, bl2[0], bl2[1])
+    hs_c = jnp.where(m_el, hs4[0], hs4[1]) > 0.5
+    hs_n = (jnp.where(m_el, hs4[2], hs4[3]) > 0.5) & has_next
+
+    alf = jnp.minimum((C_j - k1f * dt) / bl_j, 1.0)            # blend alpha
+    alf3 = alf[:, None, :]
+    both = hs_c & hs_n
+    both3 = both[:, None, :]
+    mc3 = hs_c[:, None, :]
+    mn3 = hs_n[:, None, :]
+
+    def pickv(i, sil):
+        sl = slice(i * F, (i + 1) * F)
+        cur = selv(vec_a[sl], vec_b[sl])
+        nxt = selv(vec_an[sl], vec_bn[sl])
+        mix = cur * alf3 + nxt * (1.0 - alf3)
+        return jnp.where(both3, mix,
+                         jnp.where(mc3, cur, jnp.where(mn3, nxt, sil)))
+
+    ff_p = pickv(0, 0.25)
+    bw_p = pickv(1, 0.25)
+    sm_p = pickv(2, 0.25)
+    br_p = pickv(3, 0.0)
+    tb_p = pickv(4, 0.0)
+    am_cur = selv(vec_a[5 * F:6 * F], vec_b[5 * F:6 * F])
+    am_nxt = selv(vec_an[5 * F:6 * F], vec_bn[5 * F:6 * F])
+    am_p = jnp.where(both3, am_cur * alf3 + am_nxt * (1.0 - alf3),
+                     jnp.where(mc3, am_cur * alf3,
+                               jnp.where(mn3, am_nxt * (1.0 - alf3), 0.0)))
+    fr_p = jnp.where(both, cur_fr * alf + nxt_fr * (1.0 - alf),
+                     jnp.where(hs_c, cur_fr, jnp.where(hs_n, nxt_fr, 0.25)))
+
+    # validity + silent replacement (expand_score's tail/pre-roll handling)
+    n_last = n_ref[E - 1][None, :]
+    valid = (k1 >= 1) & (k1 <= n_last)
+    v3 = valid[:, None, :]
+    vm = valid.astype(jnp.float32)
+    vm3 = vm[:, None, :]
+    fr_e = jnp.where(valid, fr_p, 0.25)
+    ff_e = jnp.where(v3, ff_p, 0.25)
+    bw_e = jnp.where(v3, bw_p, 0.25)
+    sm_e = jnp.where(v3, sm_p, 0.25)
+    br_e = jnp.where(v3, br_p, 0.0)
+    tb_e = jnp.where(v3, tb_p, 0.0)
+    am_e = jnp.where(v3, am_p, 0.0)
+
+    # jitter (value-noise lerp; masked like apply_jitter(mask=valid)).
+    # Row selection: shifted[i_cl - lat_shift] == orig[i_cl]. Per lane the
+    # chunk spans at most 2 lattice cells (chunk*inc < 1), so first collapse
+    # the nlat-row window to 3 per-lane rows (cheap [8,lane] masked sums),
+    # then a 2-way per-sample select.
+    ph = k1f * inc_s
+    phi = ph - jnp.floor(ph)
+    i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, W - 2)
+    ia = i_cl[0:1]                                            # [1, lane]
+    irel = ia - lat_shift - base                              # in [0, nlat-3]
+    locp = [z1, z1, z1]
+    locf = [z8, z8, z8]
+    loca = [z8, z8, z8]
+    for q in range(nlat - 2):
+        m = (irel == q).astype(jnp.float32)                   # [1, lane]
+        for r in range(3):
+            locp[r] = locp[r] + m * prow[q + r]
+            locf[r] = locf[r] + m * frow[q + r]
+            loca[r] = loca[r] + m * arow[q + r]
+    sel = i_cl <= ia                                          # row ia vs ia+1
+    sel3 = sel[:, None, :]
+    phi3 = phi[:, None, :]
+    pitch_n = (jnp.where(sel, locp[0], locp[1]) * (1.0 - phi)
+               + jnp.where(sel, locp[1], locp[2]) * phi)
+    form_n = (jnp.where(sel3, locf[0][None], locf[1][None]) * (1.0 - phi3)
+              + jnp.where(sel3, locf[1][None], locf[2][None]) * phi3)
+    ampn = (jnp.where(sel3, loca[0][None], loca[1][None]) * (1.0 - phi3)
+            + jnp.where(sel3, loca[1][None], loca[2][None]) * phi3)
+    pitch_n = pitch_n * vm
+    form_n = form_n * vm3
+    ampn = ampn * vm3 - (1.0 - vm3)                           # masked -> n=-1
+
+    jdf = par_ref[1][None, :]
+    jdff = par_ref[2][None, None, :]
+    jda = par_ref[3][None, None, :]
+    freq_j = fr_e + pitch_n * jdf
+    ff_j = ff_e + form_n * jdff
+    am_j = am_e * (1.0 - (ampn + 1.0) * (0.5 * jda))
+
+    # carrier phase: Q31 fixed point (int32 wraparound == exact mod-1)
+    fq31 = (freq_j * jnp.float32(_Q31)).astype(jnp.int32)
+    csum = _cumsum_i32(fq31)
+    p0 = si_out[0][None, :]
+    phase_q = (p0 + (csum - fq31)) & _MASK31
+    phase = phase_q.astype(jnp.float32) * jnp.float32(1.0 / _Q31)
+    p_out = (p0 + csum[chunk - 1:chunk]) & _MASK31
+
+    # polyBLEP saw (reference src/lib.rs:503-517)
+    t0 = phase / freq_j
+    first = 2.0 * t0 - t0 * t0 - 1.0
+    t1 = (phase - 1.0) / freq_j
+    last = t1 * t1 + 2.0 * t1 + 1.0
+    pb = jnp.where(phase < freq_j, first,
+                   jnp.where(phase > 1.0 - freq_j, last, 0.0))
+    saw = (2.0 * phase - 1.0 - pb)[:, None, :]
+
+    # Lehmer noise: closed-form skip per chunk (int32 wrap mul == uint32)
+    seed0 = si_out[1][None, :]
+    states = leh_ref[0] * seed0 + leh_ref[1]                   # [chunk, lane]
+    bits = jax.lax.shift_right_logical(states, 9) | jnp.int32(0x3F800000)
+    nzf = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    noise = ((nzf - 1.5) * 2.0)[:, None, :]
+    seed_out = states[chunk - 1:chunk]
+
+    # filter coefficient streams (reference src/lib.rs:528-562)
+    nw = saw * (1.0 - br_e) + noise * br_e
+    alpha_lp = exp_approx(sm_e)
+    tamp = ((1.0 - tb_e) + noise * tb_e) * am_j
+    g = tan_approx(ff_j)
+    kq = bw_e / ff_j
+    a1 = 1.0 / (1.0 + g * (g + kq))
+    a2 = g * a1
+    a3c = g * a2
+    m21 = 2.0 * a2
+    s_alpha[...] = alpha_lp
+    s_d[...] = (1.0 - alpha_lp) * nw
+    s_q1[...] = m21 * tamp
+    s_q2[...] = (2.0 * a3c) * tamp
+    s_m11[...] = 2.0 * a1 - 1.0
+    s_m21[...] = m21
+    s_m22[...] = 1.0 - 2.0 * a3c
+
+    si_out[0:1, :] = p_out
+    si_out[1:2, :] = seed_out
+
+    # ---- D: the irreducible sequential recurrence -------------------------
+    F = NUM_FORMANTS
+
+    def step(i, _):
+        alpha = s_alpha[i]
+        lp = alpha * sf_out[0:F] + s_d[i]
+        sf_out[0:F] = lp
+        b = sf_out[F:2 * F]
+        c = sf_out[2 * F:3 * F]
+        m21i = s_m21[i]
+        nb = s_m11[i] * b - m21i * c + s_q1[i] * lp
+        nc = m21i * b + s_m22[i] * c + s_q2[i] * lp
+        sf_out[F:2 * F] = nb
+        sf_out[2 * F:3 * F] = nc
+        audio_ref[i, :] = jnp.sum(nb + b, axis=0) * 0.25
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+    audio_ref[...] = audio_ref[...] * vm
+
+
+def _lehmer_chunk_tables(chunk: int, lane: int):
+    """int32 [2, chunk, lane] (A^{k+1}, S_{k+1}) relative-skip tables."""
+    powA, S = lehmer_affine(chunk)
+    t = np.stack([powA[1:], S[1:]]).astype(np.uint32).view(np.int32)
+    return np.broadcast_to(t[:, :, None], (2, chunk, lane)).copy()
+
+
+def synth_fused_pallas(tables: FusedTables, T: int,
+                       state: Optional[SynthState] = None,
+                       phase_q31: Optional[jnp.ndarray] = None,
+                       interpret: bool = False,
+                       chunk: int = CHUNK_F, lane: int = LANE_F,
+                       ) -> Tuple[jnp.ndarray, SynthState]:
+    """Run the fused kernel: tables -> (audio [T, B], final SynthState).
+
+    `phase_q31` (optional int32 [B]) supplies the initial carrier phase in
+    exact Q31 fixed point (the overlap-save split path needs bit-exact
+    segment-boundary phases, below f32 resolution).
+    """
+    B = tables.n.shape[1]
+    if state is None:
+        state = SynthState.init((B,))
+    if interpret:
+        lane = B
+        chunk = min(chunk, T)
+    assert T % chunk == 0, (T, chunk)
+    assert B % lane == 0, (B, lane)
+    nbt = B // lane
+    nt = T // chunk
+    E = tables.n.shape[0]
+    W = tables.latp.shape[0]
+    F = NUM_FORMANTS
+
+    sf = jnp.concatenate([state.filter_state_a.T, state.filter_state_b.T,
+                          state.filter_state_c.T], axis=0)        # [24, B]
+    if phase_q31 is None:
+        phase_q31 = (jnp.mod(state.phase, 1.0) * jnp.float32(_Q31)
+                     ).astype(jnp.uint32).astype(jnp.int32)
+    seed_i32 = jax.lax.bitcast_convert_type(
+        state.seed.astype(jnp.uint32), jnp.int32)
+    si = jnp.concatenate([
+        jnp.asarray(phase_q31, jnp.int32).reshape(1, B),
+        seed_i32.reshape(1, B),
+        jnp.zeros((6, B), jnp.int32),
+    ], axis=0)
+    leh = jnp.asarray(_lehmer_chunk_tables(chunk, lane))
+
+    e2 = lambda: pl.BlockSpec((E, lane), lambda bt, tt: (0, bt),
+                              memory_space=pltpu.VMEM)
+    escal = pl.BlockSpec((E, 8, lane), lambda bt, tt: (0, 0, bt),
+                         memory_space=pltpu.VMEM)
+    evec = pl.BlockSpec((E, 6 * F, lane), lambda bt, tt: (0, 0, bt),
+                        memory_space=pltpu.VMEM)
+    w2 = lambda: pl.BlockSpec((W, lane), lambda bt, tt: (0, bt),
+                              memory_space=pltpu.VMEM)
+    w3 = lambda: pl.BlockSpec((W, F, lane), lambda bt, tt: (0, 0, bt),
+                              memory_space=pltpu.VMEM)
+    r8 = lambda: pl.BlockSpec((8, lane), lambda bt, tt: (0, bt),
+                              memory_space=pltpu.VMEM)
+    sfspec = lambda: pl.BlockSpec((3 * F, lane), lambda bt, tt: (0, bt),
+                                  memory_space=pltpu.VMEM)
+    lehspec = pl.BlockSpec((2, chunk, lane), lambda bt, tt: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    incspec = pl.BlockSpec((1, 1), lambda bt, tt: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B), jnp.float32),
+        jax.ShapeDtypeStruct((3 * F, B), jnp.float32),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+    )
+    compiler_params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+    scratch = [pltpu.VMEM((chunk, F, lane), jnp.float32) for _ in range(7)]
+
+    audio, sf_o, si_o = pl.pallas_call(
+        _fused_kernel,
+        grid=(nbt, nt),
+        in_specs=[e2(), escal, evec,
+                  w2(), w3(), w3(), r8(), r8(), lehspec, incspec,
+                  sfspec(), r8()],
+        out_specs=(
+            pl.BlockSpec((chunk, lane), lambda bt, tt: (tt, bt),
+                         memory_space=pltpu.VMEM),
+            sfspec(), r8(),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(tables.n, tables.scal, tables.vec,
+      tables.latp, tables.latf, tables.lata, tables.par, tables.aux, leh,
+      tables.inc, sf, si)
+
+    new_state = SynthState(
+        phase=si_o[0].astype(jnp.uint32).astype(jnp.float32)
+        * jnp.float32(1.0 / _Q31),
+        filter_state_a=sf_o[0:F].T,
+        filter_state_b=sf_o[F:2 * F].T,
+        filter_state_c=sf_o[2 * F:3 * F].T,
+        seed=si_o[1].astype(jnp.uint32),
+    )
+    return audio, new_state
+
+
+CHUNK_PRE = 1024   # pre-pass chunk (bigger: no 8-wide arrays, no recurrence)
+
+
+def phase_q31_pre_block(score: Score, lattice, jf, jdf, sample_rate,
+                        T: int, blk: int, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """[nb, B] uint32 (nb = T//blk): Q31 carrier-phase accumulator BEFORE
+    each blk-sized block — the exact integral of the frequency stream the
+    fused kernel synthesizes (its phases A-C restricted to frequency).
+
+    Runs as a small Pallas kernel: the XLA formulations (one-hot matmuls or
+    unrolled elementwise selects) cost 33 ms / 70 ms per 64x8s batch on MXU
+    passes / unfused VPU passes; in-kernel everything stays in VMEM.
+    """
+    B = score.length.shape[0]
+    sr = jnp.float32(sample_rate)
+    chunk = CHUNK_PRE
+    assert blk % chunk == 0
+    assert T % chunk == 0
+    lane = B if interpret else LANE_F
+    Bp = _round_up_int(B, lane)
+    nt = T // chunk
+    nbt = Bp // lane
+
+    jdf_b = jnp.broadcast_to(jnp.asarray(jdf, jnp.float32), (B,))
+    C = jnp.cumsum(jnp.asarray(score.length, jnp.float32), axis=-1)  # [B, E]
+    n = jnp.floor(C * sr).astype(jnp.int32)
+    dt = jnp.float32(1.0) / sr
+
+    def pad(x):  # [B, ...] -> [Bp, ...] -> [..., Bp]
+        if Bp > B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)], axis=0)
+        return x.T if x.ndim == 2 else jnp.moveaxis(x, 0, -1)
+
+    n_t = pad(n)
+    zeros_e = jnp.zeros_like(pad(C))
+    scal_t = jnp.stack([
+        pad(jnp.asarray(score.elem.frequency, jnp.float32)), pad(C),
+        pad(jnp.asarray(score.blend_length, jnp.float32)),
+        pad(score.has_sound.astype(jnp.float32)),
+        n_t.astype(jnp.float32), zeros_e, zeros_e, zeros_e,
+    ], axis=1)                                                # [E, 8, Bp]
+    latp_t = pad(jnp.asarray(lattice.pitch, jnp.float32))
+    if latp_t.shape[0] < _MIN_LAT_ROWS:   # tiny utterances: edge-pad rows
+        latp_t = jnp.concatenate(
+            [latp_t, jnp.broadcast_to(
+                latp_t[-1:], (_MIN_LAT_ROWS - latp_t.shape[0],)
+                + latp_t.shape[1:])], 0)
+    par = jnp.stack([jnp.broadcast_to(jnp.float32(jf), (Bp,)),
+                     pad(jdf_b.reshape(B, 1))[0],
+                     jnp.broadcast_to(dt, (Bp,))] + [jnp.zeros(Bp)] * 5
+                    ).astype(jnp.float32)                         # [8, Bp]
+    inc_arr = jnp.reshape(jnp.float32(jf), (1, 1))
+
+    E = n_t.shape[0]
+    W = latp_t.shape[0]
+    nlat = _n_lat_rows(chunk)
+
+    def kern(n_ref, scal_ref, latp_ref, par_ref, inc_ref, sums_ref):
+        tt = pl.program_id(1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
+        k1 = kk + (tt * chunk + 1)
+        k1_first = k1[0:1]
+        k1_last = k1[chunk - 1:chunk]
+
+        def cnt_body(e, carry):
+            ja, jb = carry
+            ne = n_ref[e][None, :]
+            return (ja + (ne < k1_first).astype(jnp.int32),
+                    jb + (ne < k1_last).astype(jnp.int32))
+
+        ja, jb = jax.lax.fori_loop(
+            0, E, cnt_body,
+            (jnp.zeros((1, lane), jnp.int32), jnp.zeros((1, lane), jnp.int32)))
+        Em1 = E - 1
+        ja_c = jnp.minimum(ja, Em1)
+        jb_c = jnp.minimum(jb, Em1)
+        jan = jnp.minimum(ja_c + 1, Em1)
+        jbn = jnp.minimum(jb_c + 1, Em1)
+
+        z8 = jnp.zeros((8, lane), jnp.float32)
+
+        def row_body(e, carry):
+            ma = (ja_c == e).astype(jnp.float32)
+            mb = (jb_c == e).astype(jnp.float32)
+            mna = (jan == e).astype(jnp.float32)
+            mnb = (jbn == e).astype(jnp.float32)
+            sc = scal_ref[e]                                   # [8, lane]
+            return (carry[0] + ma * sc, carry[1] + mb * sc,
+                    carry[2] + mna * sc, carry[3] + mnb * sc)
+
+        sc_a, sc_b, sc_an, sc_bn = jax.lax.fori_loop(
+            0, E, row_body, (z8,) * 4)
+
+        # lattice rows: scalar-indexed window from the grid position (the
+        # pre-pass always runs from sample 1, so no per-lane shift)
+        inc_s = inc_ref[0, 0]
+        t01f = (tt * chunk + 1).astype(jnp.float32)
+        base = jnp.clip(jnp.floor(t01f * inc_s).astype(jnp.int32) - 2,
+                        0, W - nlat)
+        prow = [latp_ref[base + r][None, :] for r in range(nlat)]
+
+        k1f = k1.astype(jnp.float32)
+        dt_ = par_ref[2][None, :]
+        m_el = k1f <= sc_a[4:5]                   # j stays at ja while
+        j2 = jnp.where(m_el, ja, jb)              # k1 <= end_sample[ja]
+        has_next = j2 < Em1
+        cur_fr = jnp.where(m_el, sc_a[0:1], sc_b[0:1])
+        nxt_fr = jnp.where(m_el, sc_an[0:1], sc_bn[0:1])
+        C_j = jnp.where(m_el, sc_a[1:2], sc_b[1:2])
+        bl_j = jnp.where(m_el, sc_a[2:3], sc_b[2:3])
+        hs_c = jnp.where(m_el, sc_a[3:4], sc_b[3:4]) > 0.5
+        hs_n = (jnp.where(m_el, sc_an[3:4], sc_bn[3:4]) > 0.5) & has_next
+
+        alf = jnp.minimum((C_j - k1f * dt_) / bl_j, 1.0)
+        f = jnp.where(hs_c & hs_n, cur_fr * alf + nxt_fr * (1.0 - alf),
+                      jnp.where(hs_c, cur_fr,
+                                jnp.where(hs_n, nxt_fr, 0.25)))
+        n_last = n_ref[E - 1][None, :]
+        valid = (k1 >= 1) & (k1 <= n_last)
+        f = jnp.where(valid, f, 0.25)
+
+        ph = k1f * inc_s
+        phi = ph - jnp.floor(ph)
+        i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, W - 2)
+        r = i_cl - base                                # 0 .. nlat-2
+        pc = jnp.zeros((chunk, lane), jnp.float32)
+        pn = jnp.zeros((chunk, lane), jnp.float32)
+        for rr in range(nlat - 1):
+            m = (r == rr).astype(jnp.float32)
+            pc = pc + m * prow[rr]
+            pn = pn + m * prow[rr + 1]
+        pitch = pc * (1.0 - phi) + pn * phi
+        jdf_ = par_ref[1][None, :]
+        f = f + pitch * valid.astype(jnp.float32) * jdf_
+
+        fq = (f * jnp.float32(_Q31)).astype(jnp.int32)
+        # output tile is (1, 8, lane) (sublane-dim minimum); broadcast the
+        # per-chunk sum row across the 8 sublanes, caller reads row 0
+        sums_ref[0] = jnp.broadcast_to(jnp.sum(fq, axis=0)[None, :],
+                                       (8, lane))
+
+    e2 = lambda: pl.BlockSpec((E, lane), lambda bt, tt: (0, bt),
+                              memory_space=pltpu.VMEM)
+    w2 = pl.BlockSpec((W, lane), lambda bt, tt: (0, bt),
+                      memory_space=pltpu.VMEM)
+    r8 = pl.BlockSpec((8, lane), lambda bt, tt: (0, bt),
+                      memory_space=pltpu.VMEM)
+    incspec = pl.BlockSpec((1, 1), lambda bt, tt: (0, 0),
+                           memory_space=pltpu.SMEM)
+    escal = pl.BlockSpec((E, 8, lane), lambda bt, tt: (0, 0, bt),
+                         memory_space=pltpu.VMEM)
+    sums = pl.pallas_call(
+        kern,
+        grid=(nbt, nt),
+        in_specs=[e2(), escal, w2, r8, incspec],
+        out_specs=pl.BlockSpec((1, 8, lane), lambda bt, tt: (tt, 0, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, 8, Bp), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(n_t.astype(jnp.int32), scal_t, latp_t, par, inc_arr)
+
+    csum = jnp.cumsum(sums[:, 0, :B].astype(jnp.uint32), axis=0)  # [nt, B]
+    excl = jnp.concatenate([jnp.zeros((1, B), jnp.uint32), csum[:-1]], axis=0)
+    return excl[:: blk // chunk]                                 # [nb, B]
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fused_supported(score_np, sample_rate: float, chunk: int = CHUNK_F) -> bool:
+    """Host-side precondition check: every nonzero element spans >= chunk
+    samples (so the per-chunk two-row selection is exact). Call with concrete
+    (numpy) scores outside jit."""
+    lengths = np.asarray(score_np.length, np.float32)
+    C = np.cumsum(lengths, axis=-1)
+    n = np.floor(C * np.float32(sample_rate)).astype(np.int64)
+    gaps = np.diff(n, axis=-1)
+    first = n[..., 0]
+    ok = np.all((gaps == 0) | (gaps >= chunk))
+    ok = ok and np.all((first == 0) | (first >= chunk))
+    return bool(ok)
+
+
+__all__ = ["FusedTables", "build_tables", "synth_fused_pallas",
+           "fused_supported", "LANE_F", "CHUNK_F"]
