@@ -1,15 +1,18 @@
 #!/usr/bin/env python3
 """Benchmark: aggregate synthesis throughput (x realtime) at 64-way batch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target (BASELINE.json): >= 1000x realtime aggregate on one v5e chip
 at 64-way voice/utterance batch -> vs_baseline = value / 1000.
 
-The reference publishes no numbers; its CLI self-times the same quantity
-(seconds-of-audio vs generation wall-time, examples/cli.rs:186-193).
-
-NOTE: on the axon platform block_until_ready() does not synchronize, so the
-timing loop forces a scalar device->host fetch per iteration.
+Timing methodology (see docs/ROOFLINE.md): on the axon platform
+block_until_ready() does not synchronize AND a scalar device->host fetch
+costs a fixed ~30 ms tunnel round trip regardless of work (an empty kernel
+and a resident-array fetch measure the same). The headline is therefore the
+AMORTIZED device time: K back-to-back dispatches (they serialize on the
+device), one fetch, t = (wall_K - wall_1) / (K - 1). The one-shot wall
+(round-1 methodology) and the measured fixed overhead are reported
+alongside, with the full kernel geometry, so rounds stay comparable.
 """
 
 import json
@@ -19,6 +22,9 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
+
+HBM_BW_V5E = 819e9          # bytes/s, TPU v5e peak HBM bandwidth
+AMORTIZE_K = 8
 
 
 def main():
@@ -31,29 +37,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from grail_tpu.api import (_round_up, _score_num_samples, _synth_jit_batch,
+    from grail_tpu.api import (WARMUP, _round_up, _score_num_samples,
+                               _synth_jit_batch, _synth_jit_split_fused,
                                default_backend, text_to_score)
     from grail_tpu.synth.jitter import JitterLattice, build_lattice
-    from grail_tpu.synth.kernel import LANE
+    from grail_tpu.synth.kernel_fused import CHUNK_F, CHUNK_PRE, LANE_F
     from grail_tpu.synth.score import stack_scores
     from grail_tpu.voices import get_voice
-
-    from grail_tpu.api import _synth_jit_split
 
     B = 64
     texts = [("aeae" * 4)[: 8 + (i % 8)] for i in range(B)]  # ~4-8 s each
     voice = get_voice("generic")
     sr = float(voice.sample_rate)
     backend = default_backend()
-    S = 2 if backend == "pallas" else 1  # overlap-save split -> 128 lanes
+    S = 2 if backend == "fused" else 1  # overlap-save split -> 128 lanes
 
     E = max(text_to_score(t).num_elems for t in texts)
-    Bp = B if S > 1 else (_round_up(B, LANE) if backend.startswith("pallas") else B)
-    scores = [text_to_score(texts[i % B], pad_to=E) for i in range(Bp)]
-    Ns = [_score_num_samples(s, sr) for s in scores[:B]]
-    T = _round_up(max(Ns), S * 4096)
+    scores = [text_to_score(t, pad_to=E) for t in texts]
+    Ns = [_score_num_samples(s, sr) for s in scores]
+    T = _round_up(max(Ns), max(S, 1) * 4096)
 
-    lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(Bp)]
+    lattices = [build_lattice(i, T, voice.jitter_frequency) for i in range(B)]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
     batched = jax.device_put(stack_scores(scores))
     lattices = jax.device_put(lattices)
@@ -65,28 +69,57 @@ def main():
 
     def run():
         if S > 1:
-            return _synth_jit_split(batched, lattices, jparams, srj, T, S)
+            return _synth_jit_split_fused(batched, lattices, jparams, srj, T, S)
         return _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
 
     out = run()
     _ = float(np.asarray(out[0, 0]))  # compile + real sync
 
-    times = []
-    for _i in range(5):
+    def timed(k):
         t0 = time.perf_counter()
-        out = run()
-        _ = float(np.asarray(out[0, 0]))  # forces the full computation
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
+        o = None
+        for _i in range(k):
+            o = run()
+        _ = float(np.asarray(o[0, 0]))  # forces the full computation
+        return time.perf_counter() - t0
+
+    wall_1 = min(timed(1) for _ in range(4))
+    wall_k = min(timed(AMORTIZE_K) for _ in range(3))
+    device_wall = (wall_k - wall_1) / (AMORTIZE_K - 1)
+    fixed_overhead = wall_1 - device_wall
 
     audio_seconds = sum(Ns) / sr  # the 64 real utterances
-    realtime = audio_seconds / wall
+    realtime = audio_seconds / device_wall
+    samples_per_sec = sum(Ns) / device_wall
+
+    # HBM traffic model for the fused path (docs/ROOFLINE.md): the kernel's
+    # only per-sample traffic is the audio block write; the XLA epilogue
+    # reads it once and writes the reassembled [B, T]. Tables are O(E+W).
+    lanes = S * B
+    Text = T // S + (WARMUP if S > 1 else 0)
+    bytes_audio = lanes * Text * 4 * 2 + B * T * 4
+    hbm_util = bytes_audio / device_wall / HBM_BW_V5E
 
     print(json.dumps({
         "metric": "aggregate_synthesis_throughput_64batch",
         "value": round(realtime, 1),
         "unit": "x_realtime",
         "vs_baseline": round(realtime / 1000.0, 3),
+        # -- methodology + geometry (round-over-round comparability) --
+        "device_wall_ms": round(device_wall * 1e3, 2),
+        "oneshot_wall_ms": round(wall_1 * 1e3, 2),
+        "oneshot_x_realtime": round(audio_seconds / wall_1, 1),
+        "fixed_sync_overhead_ms": round(fixed_overhead * 1e3, 2),
+        "amortize_k": AMORTIZE_K,
+        "backend": backend,
+        "geometry": {"B": B, "S": S, "T": T, "E": E, "lane": LANE_F,
+                     "chunk": CHUNK_F, "chunk_pre": CHUNK_PRE,
+                     "warmup": WARMUP},
+        # -- hardware utilization --
+        "samples_per_sec_chip": round(samples_per_sec),
+        "hbm_bytes_per_run": bytes_audio,
+        "hbm_bw_utilization": round(hbm_util, 4),
+        "bound": "sequential-recurrence latency (not HBM): see docs/ROOFLINE.md",
     }))
 
 
