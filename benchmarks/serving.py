@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Serving benchmark: N concurrent streaming sessions through StreamPool.
+
+The product-shaped workload (VERDICT r1 #5): every tick synthesizes the next
+`block` samples for all N sessions in one fused-kernel launch. Reports, per
+N in {16, 64, 128}:
+
+  * aggregate throughput (x realtime) — amortized device time per tick
+  * per-tick latency: one-shot wall (includes this harness's fixed ~30 ms
+    tunnel sync; a production local runtime pays ~0.1 ms) and the amortized
+    device time, both vs the block's real-time budget.
+
+JSON lines. Run on TPU; --cpu for a smoke run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+TEXTS = ["hello world", "synthesis at scale", "grail on tpu",
+         "formants forever"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--sizes", type=int, nargs="*", default=[16, 64, 128])
+    ap.add_argument("--ticks", type=int, default=16)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+
+    from grail_tpu.runtime.stream import StreamPool
+
+    backend = "fused_interpret" if args.cpu else "fused"
+    sr = 44100.0
+    for n in args.sizes:
+        pool = StreamPool(n, voice="plain", language="english",
+                          block=args.block, backend=backend)
+        for i in range(n):
+            pool.feed(i, TEXTS[i % len(TEXTS)] + " ")
+            pool.flush(i)
+        # warm: a few ticks compile the (E, cells) buckets
+        for _w in range(3):
+            _ = pool.read_block()
+
+        # (a) synchronous tick latency: audio delivered to the host every
+        # tick (includes this harness's fixed ~30 ms tunnel sync)
+        def sync_tick():
+            t0 = time.perf_counter()
+            out = pool.read_block()
+            _ = float(out[0, 0])
+            return time.perf_counter() - t0
+
+        sync_ms = min(sync_tick() for _ in range(4)) * 1e3
+
+        # (b) pipelined throughput: K ticks dispatched without fetching,
+        # audio pulled in bulk — amortizes the tunnel round trip away and
+        # measures the device + dispatch cost per tick
+        def pipelined(k):
+            t0 = time.perf_counter()
+            outs = [pool.read_block(sync=False) for _t in range(k)]
+            _ = float(np.asarray(outs[-1][0, 0]))
+            return time.perf_counter() - t0
+
+        w1 = min(pipelined(1) for _ in range(3))
+        wk = min(pipelined(args.ticks) for _ in range(2))
+        per_tick = (wk - w1) / (args.ticks - 1)
+
+        block_seconds = args.block / sr
+        agg_rt = n * block_seconds / per_tick
+        print(json.dumps({
+            "bench": "serving",
+            "sessions": n,
+            "block": args.block,
+            "backend": backend,
+            "tick_device_ms": round(per_tick * 1e3, 3),
+            "tick_sync_ms": round(sync_ms, 2),
+            "block_budget_ms": round(block_seconds * 1e3, 2),
+            "aggregate_x_realtime": round(agg_rt, 1),
+            "realtime_ok_pipelined": per_tick < block_seconds,
+            "realtime_ok_sync": sync_ms / 1e3 < block_seconds,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,11 +44,37 @@ def _resolve_language(language) -> Language:
 def text_to_score(text: str, voice="generic", language="generic",
                   contour: bool = False, speaking_rate: float = 1.0,
                   pad_to: Optional[int] = None) -> Score:
-    """Host frontend: transcribe + intonate + select into a device Score."""
+    """Host frontend: transcribe + intonate + select into a device Score.
+
+    With contour=True the text is segmented into clauses at punctuation and
+    each clause is intonated with the language's IntonationRules (question
+    rise at '?', statement fall at '.', comma pauses) — the reference's
+    roadmap lookahead intonator (README.md:15, src/lib.rs:1062-1066)."""
+    from .text.intonate import PhonemeElem as _PE, split_clauses
+    from .text.phonemes import Phoneme as _P
+
     v = _resolve_voice(voice)
     l = _resolve_language(language)
-    phonemes = transcribe(text, l)
-    pelems = intonate(phonemes, l, v, contour=contour, speaking_rate=speaking_rate)
+    if not contour:
+        phonemes = transcribe(text, l)
+        pelems = intonate(phonemes, l, v, contour=False,
+                          speaking_rate=speaking_rate)
+        return score_from_phoneme_elems(pelems, v, pad_to=pad_to)
+
+    pelems = []
+    rate = max(speaking_rate, 1e-3)
+    for clause, kind, pause in split_clauses(text):
+        phonemes = transcribe(clause, l)
+        pelems.extend(intonate(phonemes, l, v, contour=True,
+                               speaking_rate=speaking_rate, clause=kind))
+        if pause is not None:
+            dur = (l.intonation.comma_pause if pause == "comma"
+                   else l.intonation.sentence_pause) / rate
+            pelems.append(_PE(_P.SILENCE, dur, min(0.5 * dur, 0.06 / rate),
+                              v.center_frequency))
+    if not pelems:   # punctuation-only / empty input: one silent element
+        pelems = [_PE(_P.SILENCE, 0.12 / rate, 0.06 / rate,
+                      v.center_frequency)]
     return score_from_phoneme_elems(pelems, v, pad_to=pad_to)
 
 

@@ -66,6 +66,24 @@ def main(argv=None) -> int:
 
     voice = _find_argument(args, "-v", "--voice") or "generic"
     language = _find_argument(args, "-l", "--language") or "generic"
+    # declarative data files (the reference's voice-file roadmap item,
+    # README.md:17): -v/-l accept a path to a JSON voice/language document
+    if isinstance(voice, str) and voice.endswith(".json"):
+        from .voices.fileformat import load_voice_file
+
+        try:
+            voice = load_voice_file(voice)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: could not load voice file {voice!r}: {e}")
+            return 1
+    if isinstance(language, str) and language.endswith(".json"):
+        from .languages.fileformat import load_language_file
+
+        try:
+            language = load_language_file(language)
+        except (OSError, ValueError, KeyError) as e:
+            print(f"error: could not load language file {language!r}: {e}")
+            return 1
     output_file = _find_argument(args, "-o", "--output") or ""
     resample = _find_argument(args, "-r", "--resample")
     input_file = _find_argument(args, "-i", "--input")

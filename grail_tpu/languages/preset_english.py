@@ -69,4 +69,13 @@ _RULES = [
     ("z", [P.Z]),
 ]
 
-LANGUAGE = Language.from_pairs(_RULES, case_sensitive=False, name="english")
+from ..text.language import IntonationRules
+
+# English prosody: marked declination, strong question rise, alternating
+# lexical-ish stress
+_INTONATION = IntonationRules(declination=0.25, question_rise=1.25,
+                              statement_fall=0.90, accent_period=2,
+                              accent_gain=1.07)
+
+LANGUAGE = Language.from_pairs(_RULES, case_sensitive=False, name="english",
+                               intonation=_INTONATION)

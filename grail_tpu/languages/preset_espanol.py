@@ -51,4 +51,13 @@ _RULES = [
     ("z", [P.S]),           # seseo
 ]
 
-LANGUAGE = Language.from_pairs(_RULES, case_sensitive=False, name="espanol")
+from ..text.language import IntonationRules
+
+# Spanish prosody: flatter declination, syllable-timed (weaker accent),
+# moderate final rise on questions
+_INTONATION = IntonationRules(declination=0.16, question_rise=1.18,
+                              statement_fall=0.93, accent_period=3,
+                              accent_gain=1.04, final_lengthen=1.2)
+
+LANGUAGE = Language.from_pairs(_RULES, case_sensitive=False, name="espanol",
+                               intonation=_INTONATION)

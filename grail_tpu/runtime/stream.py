@@ -157,6 +157,47 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
     return jnp.moveaxis(out, 0, 1), states
 
 
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
+                       sample_rate, offsets, joffsets, states: SynthState,
+                       block: int, interpret: bool = False):
+    """One pool tick on the fully-fused kernel: per-session score offsets go
+    in as per-lane g0, absolute jitter positions as g0_jitter. N is
+    lane-padded (the kernel runs whole 128-lane tiles); padding lanes
+    replay session 0 and are sliced off.
+
+    Returns (audio [N, block], new states, advanced offsets) — the offsets
+    round-trip through the device so steady-state ticks (no new text, no
+    rebase) dispatch with ZERO host->device transfers: on the axon platform
+    every per-tick transfer costs a ~30 ms tunnel round trip.
+    """
+    from ..synth.kernel_fused import LANE_F, build_tables, synth_fused_pallas
+
+    N = scores.length.shape[0]
+    lane = N if interpret else LANE_F
+    Np = ((N + lane - 1) // lane) * lane
+    jf, jdf, jdff, jda = jparams
+
+    def padn(x):
+        x = jnp.asarray(x)
+        if Np == N:
+            return x
+        reps = jnp.broadcast_to(x[:1], (Np - N,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    per = jnp.ndim(jdf) > 0
+    jp = (jf, padn(jdf) if per else jdf, padn(jdff) if per else jdff,
+          padn(jda) if per else jda)
+    tables = build_tables(jax.tree.map(padn, scores),
+                          jax.tree.map(padn, lattices), jp, sample_rate,
+                          g0=padn(offsets), g0_jitter=padn(joffsets))
+    audio, new_states = synth_fused_pallas(
+        tables, block, state=SynthState(*(padn(f) for f in states)),
+        interpret=interpret)
+    return (audio.T[:N], SynthState(*(x[:N] for x in new_states)),
+            offsets + block, joffsets + block)
+
+
 class StreamSession:
     """Incremental text -> audio session with carried DSP state."""
 
@@ -171,6 +212,9 @@ class StreamSession:
         self.sample_rate = float(self.voice.sample_rate)
 
         self._elements: List[PhonemeElem] = []
+        self._rev = 0                # bumped whenever the rolling score
+        #                              changes (StreamPool upload cache key)
+        self._pool_ref = None        # (pool, index) when owned by a StreamPool
         self._consumed_samples = 0   # samples consumed within current score
         self._jitter_pos = 0         # absolute sample counter (jitter phase)
         self._state = SynthState.init(())
@@ -239,6 +283,7 @@ class StreamSession:
         pelems = intonate(phonemes, self.language, self.voice,
                           contour=self.contour, speaking_rate=self.speaking_rate)
         self._elements.extend(pelems)
+        self._rev += 1
 
     def _ensure_audio_horizon(self, samples_needed: int) -> None:
         """Idle behavior: extend with Silence elements (the reference's
@@ -251,6 +296,7 @@ class StreamSession:
         while total_samples() - self._consumed_samples < samples_needed:
             self._elements.append(
                 PhonemeElem(Phoneme.SILENCE, 0.5, 0.5, self.voice.center_frequency))
+            self._rev += 1
 
     def _rebase(self) -> None:
         """Drop fully-consumed elements to keep the jit score bucket small."""
@@ -264,6 +310,7 @@ class StreamSession:
         if drop > 8:
             self._elements = self._elements[drop:]
             self._consumed_samples -= int(n[drop - 1])
+            self._rev += 1
 
     # -- audio -------------------------------------------------------------
 
@@ -285,7 +332,17 @@ class StreamSession:
             done += take
         return out
 
+    def _materialize_state(self) -> None:
+        """Pool-owned sessions keep their DSP state inside the pool's stacked
+        device pytree (per-session slicing would dispatch 5 x N tiny device
+        ops per tick); pull this session's slice only when actually needed
+        (solo reads, checkpointing)."""
+        if self._pool_ref is not None:
+            pool, idx = self._pool_ref
+            self._state = SynthState(*(x[idx] for x in pool._states))
+
     def _read_block(self) -> np.ndarray:
+        self._materialize_state()
         blk = self.block
         self._ensure_audio_horizon(blk)
         self._rebase()
@@ -319,6 +376,7 @@ class StreamSession:
     def save_state(self) -> bytes:
         import io
 
+        self._materialize_state()
         buf = io.BytesIO()
         elems = np.array([(int(e.phoneme), e.length, e.blend_length, e.frequency)
                           for e in self._elements], np.float64).reshape(-1, 4)
@@ -392,7 +450,7 @@ class StreamPool:
 
     def __init__(self, n: int, voice="generic", language="generic",
                  block: int = 1024, seeds=None, contour: bool = False,
-                 speaking_rate: float = 1.0):
+                 speaking_rate: float = 1.0, backend: Optional[str] = None):
         seeds = list(seeds) if seeds is not None else list(range(n))
         self.sessions = [
             StreamSession(voice=voice, language=language, seed=seeds[i],
@@ -403,6 +461,28 @@ class StreamPool:
         self.n = n
         self.block = block
         self.sample_rate = self.sessions[0].sample_rate
+        if backend is None:
+            from ..api import default_backend
+
+            backend = default_backend()
+        # the fused kernel needs whole chunks per tick
+        from ..synth.kernel_fused import CHUNK_F
+
+        if backend.startswith("fused") and block % CHUNK_F != 0:
+            backend = "xla"
+        self.backend = backend
+        # DSP state lives DEVICE-RESIDENT as one stacked [N, ...] pytree:
+        # per-session host pulls cost a fixed ~30 ms tunnel round trip EACH
+        # on the axon platform (5 fields x N sessions = seconds per tick).
+        self._states = SynthState.init((n,))
+        # uploaded-input cache: in steady state (no new text, no rebase) a
+        # tick re-dispatches with the SAME device-resident scores/lattices
+        # and device-advanced offsets — zero host->device transfers
+        self._cache_key = None
+        self._dev = None
+        self._srj = jnp.float32(self.sample_rate)
+        for i, s in enumerate(self.sessions):
+            s._pool_ref = (self, i)
 
     def feed(self, i: int, text: str, parse_commands: bool = False) -> None:
         self.sessions[i].feed(text, parse_commands=parse_commands)
@@ -411,8 +491,8 @@ class StreamPool:
         for s in (self.sessions if i is None else [self.sessions[i]]):
             s.flush()
 
-    def read_block(self) -> np.ndarray:
-        """Advance every session by one block: returns [N, block] audio."""
+    def _prepare_tick(self):
+        """Host frontend + (cached) device upload for one tick."""
         blk = self.block
         E = 16
         for s in self.sessions:
@@ -420,17 +500,22 @@ class StreamPool:
             s._rebase()
             E = max(E, _bucket(len(s._elements)))
         v0 = self.sessions[0].voice
-        scores = [score_from_phoneme_elems(s._elements, s.voice, pad_to=E)
-                  for s in self.sessions]
-        from ..synth.score import stack_scores
-
-        scores_b = stack_scores(scores)
-
         inc = v0.jitter_frequency
         cells = 16
         for s in self.sessions:
             need = int(np.floor((s._jitter_pos + blk + 1) * inc)) + 4
             cells = max(cells, _bucket(need))
+
+        key = (E, cells, tuple(s._rev for s in self.sessions),
+               tuple(id(s.voice) for s in self.sessions))
+        if key == self._cache_key:
+            return self._dev      # steady state: nothing to upload
+
+        scores = [score_from_phoneme_elems(s._elements, s.voice, pad_to=E)
+                  for s in self.sessions]
+        from ..synth.score import stack_scores
+
+        scores_b = stack_scores(scores)
         for s in self.sessions:
             s._lattice.ensure(cells)
         lattices = JitterLattice(
@@ -438,7 +523,6 @@ class StreamPool:
             np.stack([s._lattice.formant[:cells] for s in self.sessions]),
             np.stack([s._lattice.amp[:cells] for s in self.sessions]),
         )
-
         # sessions may have switched voices live: per-session jitter deltas
         # (jitter RATE must stay shared — it fixes the lattice schedule)
         for s in self.sessions:
@@ -453,22 +537,53 @@ class StreamPool:
                                 for s in self.sessions], jnp.float32))
         offsets = jnp.asarray([s._consumed_samples for s in self.sessions],
                               jnp.int32)
-        joffsets = jnp.asarray([s._jitter_pos for s in self.sessions], jnp.int32)
-        states = SynthState(*(jnp.stack([np.asarray(getattr(s._state, f))
-                                         for s in self.sessions])
-                              for f in SynthState._fields))
+        joffsets = jnp.asarray([s._jitter_pos for s in self.sessions],
+                               jnp.int32)
 
-        use_pallas = False  # ragged N; pallas path needs lane multiples
-        out, states = _stream_block_batch(
-            scores_b, lattices, jparams, jnp.float32(self.sample_rate),
-            offsets, joffsets, states, blk, use_pallas)
-        out = np.asarray(out, np.float32)
+        backend = self.backend
+        if backend.startswith("fused"):
+            from ..synth.kernel_fused import fused_supported
 
-        for i, s in enumerate(self.sessions):
-            s._state = SynthState(*(x[i] for x in states))
+            if not fused_supported(scores_b, self.sample_rate):
+                backend = "xla"   # pathological tick: per-chunk row
+                #                   selection precondition violated
+        dev = dict(scores=jax.device_put(scores_b),
+                   lattices=jax.device_put(lattices), jparams=jparams,
+                   offsets=offsets, joffsets=joffsets, backend=backend)
+        self._dev = dev
+        self._cache_key = key
+        return dev
+
+    def read_block(self, sync: bool = True) -> np.ndarray:
+        """Advance every session by one block: returns [N, block] audio.
+
+        sync=False returns the device array without fetching — callers can
+        pipeline many ticks and fetch audio in bulk (on axon every
+        device->host fetch costs a ~30 ms round trip)."""
+        blk = self.block
+        dev = self._prepare_tick()
+        backend = dev["backend"]
+        srj = self._srj
+        if backend.startswith("fused"):
+            out, states, off2, joff2 = _stream_tick_fused(
+                dev["scores"], dev["lattices"], dev["jparams"], srj,
+                dev["offsets"], dev["joffsets"], self._states, blk,
+                backend == "fused_interpret")
+            dev["offsets"], dev["joffsets"] = off2, joff2
+        else:
+            out, states = _stream_block_batch(
+                dev["scores"], dev["lattices"], dev["jparams"], srj,
+                dev["offsets"], dev["joffsets"], self._states, blk,
+                use_pallas=False)
+            dev["offsets"] = dev["offsets"] + blk
+            dev["joffsets"] = dev["joffsets"] + blk
+
+        self._states = states
+        for s in self.sessions:
+            # state slices are materialized lazily via s._materialize_state
             s._consumed_samples += blk
             s._jitter_pos += blk
-        return out
+        return np.asarray(out, np.float32) if sync else out
 
 
 __all__ = ["StreamSession", "StreamPool"]

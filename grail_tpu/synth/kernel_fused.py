@@ -103,12 +103,16 @@ class FusedTables(NamedTuple):
     lata: jnp.ndarray     # [W, 8, B]   amplitude lattice (pre-shifted)
     par: jnp.ndarray      # [8, B] f32  rows: inc, jdf, jdff, jda, dt, 0...
     aux: jnp.ndarray      # [8, B] i32  rows: g0 (per-lane sample offset),
-                          #             lattice shift = floor(g0*inc), 0...
+                          #             lattice shift = floor(g0j*inc),
+                          #             g0j (per-lane jitter offset; equals
+                          #             g0 except in streaming, where the
+                          #             score is rebased but the jitter
+                          #             phase is absolute), 0...
     inc: jnp.ndarray      # [1, 1] f32  jitter rate (SMEM scalar; shared)
 
 
 def build_tables(score: Score, lattice, jparams, sample_rate,
-                 g0=None) -> FusedTables:
+                 g0=None, g0_jitter=None) -> FusedTables:
     """Score [B, E] + JitterLattice [B, W(,8)] -> kernel-layout tables.
 
     Pure cheap [E]/[W]-sized ops; safe to trace inside jit.
@@ -137,15 +141,18 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     if g0 is None:
         g0 = jnp.zeros(B, jnp.int32)
     g0 = jnp.broadcast_to(jnp.asarray(g0, jnp.int32), (B,))
+    g0j = g0 if g0_jitter is None else jnp.broadcast_to(
+        jnp.asarray(g0_jitter, jnp.int32), (B,))
 
-    # Pre-shift the jitter lattices by each lane's g0 so the kernel's window
-    # of needed rows becomes computable from the grid position alone
-    # (floor((g0+t)*inc) - floor(g0*inc) is within +-1 of floor(t*inc), plus
-    # f32 slack — see _KPAD). shifted[w, lane] = orig[w + shift_lane, lane].
+    # Pre-shift the jitter lattices by each lane's jitter offset so the
+    # kernel's window of needed rows becomes computable from the grid
+    # position alone (floor((g0j+t)*inc) - floor(g0j*inc) is within +-1 of
+    # floor(t*inc) for exact reals, +-1 more for f32 rounding).
+    # shifted[w, lane] = orig[w + shift_lane, lane].
     inc_f = jnp.float32(jf)
-    shift = jnp.floor(g0.astype(jnp.float32) * inc_f).astype(jnp.int32)
-    aux = jnp.concatenate([g0[None], shift[None],
-                           jnp.zeros((6, B), jnp.int32)], axis=0)
+    shift = jnp.floor(g0j.astype(jnp.float32) * inc_f).astype(jnp.int32)
+    aux = jnp.concatenate([g0[None], shift[None], g0j[None],
+                           jnp.zeros((5, B), jnp.int32)], axis=0)
 
     latp = t2(lattice.pitch)                                   # [W, B]
     latf = t3(lattice.formant)                                 # [W, 8, B]
@@ -347,8 +354,11 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     # Row selection: shifted[i_cl - lat_shift] == orig[i_cl]. Per lane the
     # chunk spans at most 2 lattice cells (chunk*inc < 1), so first collapse
     # the nlat-row window to 3 per-lane rows (cheap [8,lane] masked sums),
-    # then a 2-way per-sample select.
-    ph = k1f * inc_s
+    # then a 2-way per-sample select. The jitter phase uses its own offset
+    # (streaming rebases the score; the jitter stream is absolute).
+    g0j = aux_ref[2][None, :]
+    k1jf = (kk + (tt * chunk + 1) + g0j).astype(jnp.float32)
+    ph = k1jf * inc_s
     phi = ph - jnp.floor(ph)
     i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, W - 2)
     ia = i_cl[0:1]                                            # [1, lane]

@@ -65,38 +65,54 @@ def intonate(
     contour: bool = False,
     speaking_rate: float = 1.0,
     seed: int = 0,
+    clause: str = "statement",
 ) -> List[PhonemeElem]:
     """Assign length/blend/pitch to a phoneme sequence.
 
     With contour=False this reproduces the reference stub exactly:
     length=0.5, blend_length=0.5, frequency=voice.center_frequency
-    (src/lib.rs:1068-1073). `language` is accepted-and-unused exactly like
-    the reference's `_language` parameter.
+    (src/lib.rs:1068-1073); `language` is unused exactly like the
+    reference's `_language` parameter.
+
+    With contour=True the LANGUAGE's IntonationRules drive the prosody (the
+    reference's roadmap "lookahead based intonation ruleset", README.md:15):
+    declination across the clause, periodic vowel accents, clause-final
+    lengthening, and a clause-type-dependent boundary tone — `clause` is
+    one of 'statement' (final fall), 'question' (final rise), 'exclamation'
+    (final fall, raised overall gain). The frontend (api.text_to_score)
+    segments text into clauses at punctuation and passes the type per
+    clause — the lookahead the reference planned.
     """
-    del language  # reference signature parity: _language is unused there too
     cf = float(voice.center_frequency)
     if not contour:
         return [PhonemeElem(p, 0.5, 0.5, cf) for p in phonemes]
 
+    from .language import IntonationRules
+
+    r = getattr(language, "intonation", None) or IntonationRules()
+    gain = r.exclaim_gain if clause == "exclamation" else 1.0
+    boundary = r.question_rise if clause == "question" else r.statement_fall
+
     elems: List[PhonemeElem] = []
     n = len(phonemes)
-    # count sound phonemes for the declination slope
     n_sound = max(1, sum(1 for p in phonemes if is_sound(p)))
     sound_i = 0
     for i, p in enumerate(phonemes):
         dur = _duration(p) / max(speaking_rate, 1e-3)
-        is_last_window = i >= n - 3
+        is_last_window = i >= n - r.final_window
         if is_sound(p):
-            # declination: F0 falls ~20% across the phrase
+            # declination: F0 falls across the clause
             pos = sound_i / n_sound
-            f = cf * (1.10 - 0.25 * pos)
-            # accent bump on alternating early vowels
-            if p.name in _VOWELS and sound_i % 2 == 0 and pos < 0.8:
-                f *= 1.06
-            # phrase-final fall + lengthening
+            f = cf * gain * (r.onset_boost - (r.onset_boost - 1.0
+                                              + r.declination) * pos)
+            # periodic accent on early vowels
+            if (p.name in _VOWELS and r.accent_period > 0
+                    and sound_i % r.accent_period == 0 and pos < 0.8):
+                f *= r.accent_gain
+            # clause-final boundary tone + lengthening
             if is_last_window:
-                f *= 0.92
-                dur *= 1.35
+                f *= boundary
+                dur *= r.final_lengthen
             sound_i += 1
         else:
             f = cf
@@ -105,4 +121,32 @@ def intonate(
     return elems
 
 
-__all__ = ["PhonemeElem", "intonate"]
+_CLAUSE_END = {".": "statement", "?": "question", "!": "exclamation",
+               ",": "comma", ";": "comma", ":": "comma"}
+
+
+def split_clauses(text: str) -> List[tuple]:
+    """Segment text at punctuation into (clause_text, kind, pause_kind)
+    tuples; kind is 'statement'/'question'/'exclamation' and pause_kind is
+    'comma'/'sentence'/None (trailing clause without punctuation)."""
+    out = []
+    buf = []
+    for ch in text:
+        if ch in _CLAUSE_END:
+            kind = _CLAUSE_END[ch]
+            clause = "".join(buf).strip()
+            if clause:
+                if kind == "comma":
+                    out.append((clause, "statement", "comma"))
+                else:
+                    out.append((clause, kind, "sentence"))
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append((tail, "statement", None))
+    return out
+
+
+__all__ = ["PhonemeElem", "intonate", "split_clauses"]

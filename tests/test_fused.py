@@ -96,3 +96,24 @@ def test_synthesize_batch_fused_backend():
     ref = synthesize_batch(["ae", "ea"], backend="xla")
     for a, b in zip(outs, ref):
         assert sample_error_db(a, b) < -55
+
+
+def test_stream_pool_fused_matches_solo():
+    # batched serving on the fused kernel == independent XLA-path sessions
+    from grail_tpu.runtime.stream import StreamPool, StreamSession
+
+    N, blk, ticks = 3, 1024, 4
+    pool = StreamPool(N, voice="plain", language="english", block=blk,
+                      backend="fused_interpret")
+    texts = ["hello", "world", "aeio"]
+    for i, t in enumerate(texts):
+        pool.feed(i, t)
+        pool.flush(i)
+    pooled = np.concatenate([pool.read_block() for _ in range(ticks)], axis=1)
+
+    for i, t in enumerate(texts):
+        s = StreamSession(voice="plain", language="english", seed=i, block=blk)
+        s.feed(t)
+        s.flush()
+        solo = np.concatenate([s.read() for _ in range(ticks)])
+        assert sample_error_db(pooled[i], solo) < -60
