@@ -119,7 +119,7 @@ def main():
         "samples_per_sec_chip": round(samples_per_sec),
         "hbm_bytes_per_run": bytes_audio,
         "hbm_bw_utilization": round(hbm_util, 4),
-        "bound": "sequential-recurrence latency (not HBM): see docs/ROOFLINE.md",
+        "bound": "VPU throughput on vectorized prep (not HBM): docs/ROOFLINE.md",
     }))
 
 

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--sizes", type=int, nargs="*", default=[16, 64, 128])
-    ap.add_argument("--ticks", type=int, default=16)
+    ap.add_argument("--ticks", type=int, default=32)
     args = ap.parse_args()
 
     if args.cpu:
@@ -77,8 +77,11 @@ def main():
             _ = float(np.asarray(outs[-1][0, 0]))
             return time.perf_counter() - t0
 
-        w1 = min(pipelined(1) for _ in range(3))
-        wk = min(pipelined(args.ticks) for _ in range(2))
+        # the tunnel's sync fetch jitters by tens of ms; take min over more
+        # repeats and amortize across more ticks so one slow fetch cannot
+        # dominate the difference
+        w1 = min(pipelined(1) for _ in range(6))
+        wk = min(pipelined(args.ticks) for _ in range(3))
         per_tick = (wk - w1) / (args.ticks - 1)
 
         block_seconds = args.block / sr

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_case(B, backend, texts_per=8, iters=3):
+def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +31,7 @@ def run_case(B, backend, texts_per=8, iters=3):
     voice = get_voice("generic")
     sr = float(voice.sample_rate)
     E = max(text_to_score(t).num_elems for t in texts)
-    Bp = _round_up(B, LANE) if backend.startswith("pallas") else B
+    Bp = _round_up(B, LANE) if backend.startswith(("pallas", "fused")) else B
     scores = [text_to_score(texts[i % B], pad_to=E) for i in range(Bp)]
     Ns = [_score_num_samples(s, sr) for s in scores[:B]]
     T = _round_up(max(Ns), 4096)
@@ -46,6 +46,12 @@ def run_case(B, backend, texts_per=8, iters=3):
 
     out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
     _ = float(np.asarray(out[0, 0]))
+    if trace_dir:
+        # jax.profiler trace of one steady-state iteration; the final fetch
+        # forces completion (axon's block_until_ready does not synchronize)
+        with jax.profiler.trace(trace_dir):
+            out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+            _ = float(np.asarray(out[0, 0]))
     times = []
     for _i in range(iters):
         t0 = time.perf_counter()
@@ -68,6 +74,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="16,64,128,256")
     ap.add_argument("--backends", default=None)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of one iteration per "
+                         "case to DIR (view with tensorboard/xprof)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +91,8 @@ def main():
                 else [default_backend()])
     for backend in backends:
         for b in [int(x) for x in args.batches.split(",")]:
-            print(json.dumps(run_case(b, backend)), flush=True)
+            print(json.dumps(run_case(b, backend, trace_dir=args.trace)),
+                  flush=True)
 
 
 if __name__ == "__main__":

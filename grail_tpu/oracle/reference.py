@@ -260,6 +260,48 @@ def oracle_sequence(seq: Sequence[NpSequenceElem], sample_rate: float):
             return
 
 
+def oracle_sequence_exact(seq: Sequence[NpSequenceElem], sample_rate: float):
+    """The reference Sequencer state machine with a DRIFT-FREE time
+    accumulator. The reference's `time -= 1/sr` f32 countdown accumulates
+    ~1e-5 s of rounding drift, which shifts element boundaries by +-1 sample
+    and the crossfade ramp sub-sample-ly; this twin recomputes
+    `time = C_j - k/sr` fresh each sample from exact integer element
+    boundaries (n_j = floor(C_j * sr)) — the same convention the vectorized
+    closed form uses (synth/sequencer.py). The 4-case blend yields are the
+    ORIGINAL oracle code, so equality against expand_score pins the fast
+    path exactly: its only deviation from oracle_sequence is the countdown
+    drift, nothing semantic.
+    """
+    elems = list(seq)
+    if not elems:
+        return
+    E = len(elems)
+    C = np.cumsum(np.asarray([e.length for e in elems], F32), dtype=F32)
+    n = np.floor(C * F32(sample_rate)).astype(np.int64)
+    dt = F32(F32(1.0) / F32(sample_rate))
+
+    j = 0
+    for k1 in range(1, int(n[-1]) + 1):
+        while n[j] < k1:  # advance past expired (and zero-length) elements
+            j += 1
+        a = elems[j]
+        b = a.elem
+        c = elems[j + 1].elem if j + 1 < E else None
+        time = F32(C[j] - F32(F32(k1) * dt))
+
+        if b is not None and c is not None:
+            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            yield c.blend(b, alpha)
+        elif b is not None:
+            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            yield b.copy_silent().blend(b, alpha)
+        elif c is not None:
+            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            yield c.blend(c.copy_silent(), alpha)
+        else:
+            yield NpElem.silent()
+
+
 class _ValueNoise:
     """Reference ValueNoise (src/lib.rs:218-256)."""
 
@@ -325,6 +367,53 @@ def oracle_jitter(elems, seed: int, voice: NpVoice):
         formant_amp_delta = ((formant_amp + _ONE) * F32(_HALF * delta_amplitude)).astype(F32)
         formant_amp_mul = (_ONE - formant_amp_delta).astype(F32)
         e.formant_amp = (e.formant_amp * formant_amp_mul).astype(F32)
+        yield e
+
+
+def oracle_jitter_exact(elems, seed: int, voice: NpVoice):
+    """The reference Jitter stage with a DRIFT-FREE value-noise phase.
+
+    The reference accumulates `phase += increment` in f32 (wrapping via
+    `phase -= 1.0` on crossing), so lattice-cell boundaries drift by a few
+    samples over long streams. This twin places sample k (1-based) in cell
+    i = floor(k * inc) with fraction phi = k*inc - i — the closed-form
+    schedule of synth/jitter.py — while drawing lattice points through the
+    ORIGINAL generator state machines. Equality against apply_jitter pins
+    the fast path exactly: its only deviation from oracle_jitter is the
+    phase-accumulator drift.
+    """
+    rng = _Rng(seed)
+    gens = (_ValueNoise(rng), _ArrayValueNoise(rng), _ArrayValueNoise(rng))
+    inc = F32(voice.jitter_frequency)
+    delta_frequency = voice.jitter_delta_frequency
+    delta_formant_freq = voice.jitter_delta_formant_frequency
+    delta_amplitude = voice.jitter_delta_amplitude
+
+    cell = 0
+    k = 0
+    for elem in elems:
+        k += 1
+        ph = F32(F32(k) * inc)
+        i = int(np.floor(ph))
+        phi = F32(ph - F32(i))
+        while cell < i:  # advance the lattice like the reference wrap does
+            for g in gens:
+                g.current = g.next_v
+                g.next_v = (g.rng.next_f32() if isinstance(g, _ValueNoise)
+                            else g.rng.next_array())
+            cell += 1
+        freq_n = F32(gens[0].current * F32(_ONE - phi) + gens[0].next_v * phi)
+        form_n = (gens[1].current * F32(_ONE - phi)
+                  + gens[1].next_v * phi).astype(F32)
+        amp_n = (gens[2].current * F32(_ONE - phi)
+                 + gens[2].next_v * phi).astype(F32)
+
+        e = elem.copy()
+        e.frequency = F32(e.frequency + F32(freq_n * delta_frequency))
+        e.formant_freq = (e.formant_freq
+                          + form_n * F32(delta_formant_freq)).astype(F32)
+        amp_delta = ((amp_n + _ONE) * F32(_HALF * delta_amplitude)).astype(F32)
+        e.formant_amp = (e.formant_amp * (_ONE - amp_delta)).astype(F32)
         yield e
 
 

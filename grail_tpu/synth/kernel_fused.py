@@ -60,7 +60,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.approx import exp_approx, tan_approx
+from ..core.approx import exp_approx
 from ..core.constants import NUM_FORMANTS
 from ..core.rng import lehmer_affine
 from .score import Score
@@ -242,12 +242,16 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     jbn = jnp.minimum(jb_c + 1, Em1)
 
     # ---- B: row extraction — packed tables, one wide FMA per (e, row) ----
+    # The 8-wide element fields need only a 3-row basis: because the chunk
+    # meets at most one element boundary, the rows at (jb, jbn) coincide
+    # with rows of the (ja, jan, jbn) basis — e0/e1/e2 below — and every
+    # per-sample cur/next value is a per-lane select within that basis.
     z8 = jnp.zeros((NUM_FORMANTS, lane), jnp.float32)
     zv = jnp.zeros((6 * NUM_FORMANTS, lane), jnp.float32)
     z1 = jnp.zeros((1, lane), jnp.float32)
 
     def row_body(e, carry):
-        sc4, vc4 = carry
+        sc4, ve3 = carry
         ma = (ja_c == e).astype(jnp.float32)
         mb = (jb_c == e).astype(jnp.float32)
         mna = (jan == e).astype(jnp.float32)
@@ -256,13 +260,12 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
         vc = vec_ref[e]                                        # [48, lane]
         return ((sc4[0] + ma * sc, sc4[1] + mb * sc,
                  sc4[2] + mna * sc, sc4[3] + mnb * sc),
-                (vc4[0] + ma * vc, vc4[1] + mb * vc,
-                 vc4[2] + mna * vc, vc4[3] + mnb * vc))
+                (ve3[0] + ma * vc, ve3[1] + mna * vc, ve3[2] + mnb * vc))
 
-    sc4, vc4 = jax.lax.fori_loop(
-        0, E, row_body, ((z8,) * 4, (zv,) * 4))
+    sc4, ve3 = jax.lax.fori_loop(
+        0, E, row_body, ((z8,) * 4, (zv,) * 3))
     sc_a, sc_b, sc_an, sc_bn = sc4
-    vec_a, vec_b, vec_an, vec_bn = vc4
+    e0, e1, e2 = ve3           # element vec rows at ja, min(ja+1), min(jb+1)
     # scal rows: 0 freq, 1 cum_end, 2 blend_len, 3 has_sound, 4 end_sample
     fq4 = (sc_a[0:1], sc_b[0:1], sc_an[0:1], sc_bn[0:1])
     cum2 = (sc_a[1:2], sc_b[1:2])
@@ -293,12 +296,8 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     # per-sample element index: j stays at ja while k1 <= n[ja] — the chunk
     # meets at most one distinct boundary (host-checked by fused_supported)
     m_el = k1f <= n_ja                                         # [chunk, lane]
-    m3 = m_el[:, None, :]
     j2 = jnp.where(m_el, ja, jb)                               # unclipped
     has_next = j2 < Em1
-
-    def selv(a_row, b_row):
-        return jnp.where(m3, a_row[None], b_row[None])         # [chunk,8,lane]
 
     F = NUM_FORMANTS
     cur_fr = jnp.where(m_el, fq4[0], fq4[1])
@@ -309,46 +308,52 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     hs_n = (jnp.where(m_el, hs4[2], hs4[3]) > 0.5) & has_next
 
     alf = jnp.minimum((C_j - k1f * dt) / bl_j, 1.0)            # blend alpha
-    alf3 = alf[:, None, :]
     both = hs_c & hs_n
-    both3 = both[:, None, :]
-    mc3 = hs_c[:, None, :]
-    mn3 = hs_n[:, None, :]
-
-    def pickv(i, sil):
-        sl = slice(i * F, (i + 1) * F)
-        cur = selv(vec_a[sl], vec_b[sl])
-        nxt = selv(vec_an[sl], vec_bn[sl])
-        mix = cur * alf3 + nxt * (1.0 - alf3)
-        return jnp.where(both3, mix,
-                         jnp.where(mc3, cur, jnp.where(mn3, nxt, sil)))
-
-    ff_p = pickv(0, 0.25)
-    bw_p = pickv(1, 0.25)
-    sm_p = pickv(2, 0.25)
-    br_p = pickv(3, 0.0)
-    tb_p = pickv(4, 0.0)
-    am_cur = selv(vec_a[5 * F:6 * F], vec_b[5 * F:6 * F])
-    am_nxt = selv(vec_an[5 * F:6 * F], vec_bn[5 * F:6 * F])
-    am_p = jnp.where(both3, am_cur * alf3 + am_nxt * (1.0 - alf3),
-                     jnp.where(mc3, am_cur * alf3,
-                               jnp.where(mn3, am_nxt * (1.0 - alf3), 0.0)))
     fr_p = jnp.where(both, cur_fr * alf + nxt_fr * (1.0 - alf),
                      jnp.where(hs_c, cur_fr, jnp.where(hs_n, nxt_fr, 0.25)))
 
-    # validity + silent replacement (expand_score's tail/pre-roll handling)
+    # validity (expand_score's tail/pre-roll handling)
     n_last = n_ref[E - 1][None, :]
     valid = (k1 >= 1) & (k1 <= n_last)
-    v3 = valid[:, None, :]
     vm = valid.astype(jnp.float32)
-    vm3 = vm[:, None, :]
     fr_e = jnp.where(valid, fr_p, 0.25)
-    ff_e = jnp.where(v3, ff_p, 0.25)
-    bw_e = jnp.where(v3, bw_p, 0.25)
-    sm_e = jnp.where(v3, sm_p, 0.25)
-    br_e = jnp.where(v3, br_p, 0.0)
-    tb_e = jnp.where(v3, tb_p, 0.0)
-    am_e = jnp.where(v3, am_p, 0.0)
+
+    # The 8-wide fields evaluate the same 4-case pick as scalar WEIGHT
+    # streams over the 3-row basis: out = e0*w0 + e1*w1 + e2*w2 + sil*ws.
+    # Each product's weight is an exact 0/1-masked copy of the original
+    # case's factor (alf, 1-alf, 1, or 0), so results match the where-chain
+    # bit-for-bit (plus one exact +0 term); validity folds into the weights.
+    hs_cf = hs_c.astype(jnp.float32)
+    hs_nf = hs_n.astype(jnp.float32)
+    one_m_alf = 1.0 - alf
+    m_elf = m_el.astype(jnp.float32)
+    wc = jnp.where(both, alf, hs_cf) * vm              # weight of cur row
+    wn = jnp.where(both, one_m_alf, hs_nf * (1.0 - hs_cf)) * vm   # next row
+    ws = jnp.where(valid & (hs_c | hs_n), 0.0, 1.0)    # silent-default
+    same_j = (jb_c == ja_c).astype(jnp.float32)        # chunk meets no bound
+    mcurf = jnp.maximum(m_elf, same_j)                 # cur row == e0?
+    w0 = wc * mcurf
+    w1 = wc * (1.0 - mcurf) + wn * m_elf
+    w2 = wn * (1.0 - m_elf)
+    wca = (alf * hs_cf) * vm                           # amp: cur weighted alf
+    wna = (one_m_alf * hs_nf) * vm
+    w0a = wca * mcurf
+    w1a = wca * (1.0 - mcurf) + wna * m_elf
+    w2a = wna * (1.0 - m_elf)
+    sil_q3 = (0.25 * ws)[:, None, :]
+    w0_3, w1_3, w2_3 = (w[:, None, :] for w in (w0, w1, w2))
+    w0a3, w1a3, w2a3 = (w[:, None, :] for w in (w0a, w1a, w2a))
+
+    def mixv(i, a3, b3, c3):                           # [chunk, 8, lane]
+        sl = slice(i * F, (i + 1) * F)
+        return e0[sl][None] * a3 + e1[sl][None] * b3 + e2[sl][None] * c3
+
+    ff_e = mixv(0, w0_3, w1_3, w2_3) + sil_q3
+    bw_e = mixv(1, w0_3, w1_3, w2_3) + sil_q3
+    sm_e = mixv(2, w0_3, w1_3, w2_3) + sil_q3
+    br_e = mixv(3, w0_3, w1_3, w2_3)
+    tb_e = mixv(4, w0_3, w1_3, w2_3)
+    am_e = mixv(5, w0a3, w1a3, w2a3)
 
     # jitter (value-noise lerp; masked like apply_jitter(mask=valid)).
     # Row selection: shifted[i_cl - lat_shift] == orig[i_cl]. Per lane the
@@ -375,22 +380,28 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     sel = i_cl <= ia                                          # row ia vs ia+1
     sel3 = sel[:, None, :]
     phi3 = phi[:, None, :]
+    # pitch: kept in the a*(1-t)+b*t form — the frequency chain must stay
+    # bit-identical to the pre-pass kernel (phase_q31_pre_block)
     pitch_n = (jnp.where(sel, locp[0], locp[1]) * (1.0 - phi)
                + jnp.where(sel, locp[1], locp[2]) * phi)
-    form_n = (jnp.where(sel3, locf[0][None], locf[1][None]) * (1.0 - phi3)
-              + jnp.where(sel3, locf[1][None], locf[2][None]) * phi3)
-    ampn = (jnp.where(sel3, loca[0][None], loca[1][None]) * (1.0 - phi3)
-            + jnp.where(sel3, loca[1][None], loca[2][None]) * phi3)
     pitch_n = pitch_n * vm
-    form_n = form_n * vm3
-    ampn = ampn * vm3 - (1.0 - vm3)                           # masked -> n=-1
+    # formant/amp lattices: base + diff*t lerp (precomputed per-chunk row
+    # diffs); validity masking folds into the per-lane jitter-delta factors
+    fd01 = locf[1] - locf[0]
+    fd12 = locf[2] - locf[1]
+    form_n = (jnp.where(sel3, locf[0][None], locf[1][None])
+              + jnp.where(sel3, fd01[None], fd12[None]) * phi3)
+    ad01 = loca[1] - loca[0]
+    ad12 = loca[2] - loca[1]
+    ampn = (jnp.where(sel3, loca[0][None], loca[1][None])
+            + jnp.where(sel3, ad01[None], ad12[None]) * phi3)
 
     jdf = par_ref[1][None, :]
-    jdff = par_ref[2][None, None, :]
-    jda = par_ref[3][None, None, :]
+    jdff_m = (vm * par_ref[2][None, :])[:, None, :]           # mask folded
+    jda_m = (vm * (0.5 * par_ref[3])[None, :])[:, None, :]
     freq_j = fr_e + pitch_n * jdf
-    ff_j = ff_e + form_n * jdff
-    am_j = am_e * (1.0 - (ampn + 1.0) * (0.5 * jda))
+    ff_j = ff_e + form_n * jdff_m
+    am_j = am_e * (1.0 - (ampn + 1.0) * jda_m)
 
     # carrier phase: Q31 fixed point (int32 wraparound == exact mod-1)
     fq31 = (freq_j * jnp.float32(_Q31)).astype(jnp.int32)
@@ -418,14 +429,29 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     seed_out = states[chunk - 1:chunk]
 
     # filter coefficient streams (reference src/lib.rs:528-562)
-    nw = saw * (1.0 - br_e) + noise * br_e
+    nw = saw + (noise - saw) * br_e           # == saw*(1-br) + noise*br
     alpha_lp = exp_approx(sm_e)
-    tamp = ((1.0 - tb_e) + noise * tb_e) * am_j
-    g = tan_approx(ff_j)
-    kq = bw_e / ff_j
-    a1 = 1.0 / (1.0 + g * (g + kq))
-    a2 = g * a1
-    a3c = g * a2
+    tamp = (1.0 + (noise - 1.0) * tb_e) * am_j
+    # SVF coefficients via ONE division (vs tan/kq/a1's three): with the
+    # Bhaskara tan_approx g = N/D (core/approx.py), k = bw/ff,
+    #   a1 = 1/(1 + g(g+k)) = ff*D^2 / (ff*D^2 + ff*N^2 + bw*N*D)
+    #   a2 = g*a1 = ff*N*D / den,   a3 = g*a2 = ff*N^2 / den
+    # — all denominator terms are positive for ff in (0, 0.5), bw > 0, so
+    # the re-association is cancellation-free (few-ulp drift, << -60 dB).
+    x = ff_j
+    u_ = 1.0 - x
+    v_ = x + 0.5
+    p_ = v_ * (0.5 - x)
+    q_ = u_ * x
+    N_ = q_ * (5.0 - 4.0 * p_)                # tan numerator
+    D_ = p_ * (5.0 - 4.0 * q_)                # tan denominator
+    fD2 = x * (D_ * D_)
+    fN2 = x * (N_ * N_)
+    ND = N_ * D_
+    r_ = 1.0 / (fD2 + fN2 + bw_e * ND)
+    a1 = fD2 * r_
+    a2 = (x * ND) * r_
+    a3c = fN2 * r_
     m21 = 2.0 * a2
     s_alpha[...] = alpha_lp
     s_d[...] = (1.0 - alpha_lp) * nw
@@ -439,23 +465,25 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     si_out[1:2, :] = seed_out
 
     # ---- D: the irreducible sequential recurrence -------------------------
+    # State lives in the fori_loop carry (vector registers), not in sf_out:
+    # ref reads/writes per iteration would add ~6 vreg ops to the ~18-op body.
     F = NUM_FORMANTS
 
-    def step(i, _):
-        alpha = s_alpha[i]
-        lp = alpha * sf_out[0:F] + s_d[i]
-        sf_out[0:F] = lp
-        b = sf_out[F:2 * F]
-        c = sf_out[2 * F:3 * F]
+    def step(i, carry):
+        lp, b, c = carry
+        lp = s_alpha[i] * lp + s_d[i]
         m21i = s_m21[i]
         nb = s_m11[i] * b - m21i * c + s_q1[i] * lp
         nc = m21i * b + s_m22[i] * c + s_q2[i] * lp
-        sf_out[F:2 * F] = nb
-        sf_out[2 * F:3 * F] = nc
         audio_ref[i, :] = jnp.sum(nb + b, axis=0) * 0.25
-        return 0
+        return (lp, nb, nc)
 
-    jax.lax.fori_loop(0, chunk, step, 0)
+    lpf, bf, cf = jax.lax.fori_loop(
+        0, chunk, step,
+        (sf_out[0:F], sf_out[F:2 * F], sf_out[2 * F:3 * F]))
+    sf_out[0:F] = lpf
+    sf_out[F:2 * F] = bf
+    sf_out[2 * F:3 * F] = cf
     audio_ref[...] = audio_ref[...] * vm
 
 

@@ -80,6 +80,57 @@ def test_sequencer_matches_oracle(voice, np_voice):
         assert (d > 1e-3).mean() < 0.02, field
 
 
+def test_sequencer_matches_exact_oracle(voice, np_voice):
+    """Pins the boundary behavior EXACTLY: against the reference state
+    machine with a drift-free time accumulator (oracle_sequence_exact), the
+    closed form must agree on every sample with no outlier allowance — the
+    tolerances in test_sequencer_matches_oracle cover only the reference's
+    f32-countdown drift, nothing semantic."""
+    pelems = _pelems()
+    score = score_from_phoneme_elems(pelems, voice)
+    seq = orc.oracle_select(pelems, np_voice)
+    gold = list(orc.oracle_sequence_exact(seq, SR))
+    N = len(gold)
+
+    elems, valid = jax.jit(lambda s: expand_score(s, SR, 47104))(score)
+    assert int(np.asarray(valid).sum()) == N  # sample count matches exactly
+
+    got_freq = np.asarray(elems.frequency)[:N]
+    gold_freq = np.array([g.frequency for g in gold], np.float32)
+    np.testing.assert_allclose(got_freq, gold_freq, atol=1e-6)
+    for field in ("formant_freq", "formant_bw", "formant_smooth",
+                  "formant_breath", "formant_turb", "formant_amp"):
+        got = np.asarray(getattr(elems, field))[:N]
+        goldf = np.stack([getattr(g, field) for g in gold])
+        np.testing.assert_allclose(got, goldf, atol=1e-6, err_msg=field)
+
+
+def test_jitter_matches_exact_oracle(voice, np_voice):
+    """Same pinning for jitter: vs the reference generators with a
+    drift-free phase schedule, every sample matches tightly."""
+    T = 20000
+    const = orc.NpElem.silent()
+    const.formant_amp = np.full(8, 0.125, np.float32)
+    stream = (const.copy() for _ in range(T))
+    gold = list(orc.oracle_jitter_exact(stream, 42, np_voice))
+
+    elems = SynthesisElem.silent((T,))
+    elems = elems._replace(formant_amp=jnp.full((T, 8), 0.125, jnp.float32))
+    lat = build_lattice(42, T, voice.jitter_frequency)
+    got = jax.jit(lambda e, l: apply_jitter(
+        e, l, voice.jitter_frequency, voice.jitter_delta_frequency,
+        voice.jitter_delta_formant_frequency,
+        voice.jitter_delta_amplitude))(elems, lat)
+
+    gold_f = np.array([g.frequency for g in gold])
+    np.testing.assert_allclose(np.asarray(got.frequency), gold_f, atol=1e-7)
+    gold_ff = np.stack([g.formant_freq for g in gold])
+    np.testing.assert_allclose(np.asarray(got.formant_freq), gold_ff,
+                               atol=1e-7)
+    gold_a = np.stack([g.formant_amp for g in gold])
+    np.testing.assert_allclose(np.asarray(got.formant_amp), gold_a, atol=1e-7)
+
+
 def test_jitter_matches_oracle(voice, np_voice):
     T = 20000
     const = orc.NpElem.silent()
