@@ -214,6 +214,8 @@ class StreamSession:
         self._elements: List[PhonemeElem] = []
         self._rev = 0                # bumped whenever the rolling score
         #                              changes (StreamPool upload cache key)
+        self._endn_key = None        # cache for _end_samples (per-tick host
+        self._endn = None            # bookkeeping must not rebuild arrays)
         self._pool_ref = None        # (pool, index) when owned by a StreamPool
         self._consumed_samples = 0   # samples consumed within current score
         self._jitter_pos = 0         # absolute sample counter (jitter phase)
@@ -285,15 +287,28 @@ class StreamSession:
         self._elements.extend(pelems)
         self._rev += 1
 
+    def _end_samples(self) -> np.ndarray:
+        """Cumulative element end-samples [E] int64 (f32 cumsum x sr, floored
+        — the sequencer's boundary convention). Cached per score revision:
+        StreamPool's per-tick bookkeeping calls this for every session every
+        tick, and rebuilding numpy arrays dominated the steady-state tick."""
+        key = (self._rev, len(self._elements), id(self._elements))
+        if self._endn_key != key:
+            if self._elements:
+                lengths = np.float32([e.length for e in self._elements])
+                self._endn = np.floor(
+                    np.cumsum(lengths, dtype=np.float32)
+                    * np.float32(self.sample_rate)).astype(np.int64)
+            else:
+                self._endn = np.zeros(1, np.int64)
+            self._endn_key = key
+        return self._endn
+
     def _ensure_audio_horizon(self, samples_needed: int) -> None:
         """Idle behavior: extend with Silence elements (the reference's
         repeat_with(' ') -> Silence path) until the score covers the read."""
-        def total_samples():
-            C = np.cumsum(np.float32([e.length for e in self._elements])) \
-                if self._elements else np.zeros(1, np.float32)
-            return int(np.floor(np.float32(C[-1]) * np.float32(self.sample_rate)))
-
-        while total_samples() - self._consumed_samples < samples_needed:
+        while (int(self._end_samples()[-1]) - self._consumed_samples
+               < samples_needed):
             self._elements.append(
                 PhonemeElem(Phoneme.SILENCE, 0.5, 0.5, self.voice.center_frequency))
             self._rev += 1
@@ -302,8 +317,7 @@ class StreamSession:
         """Drop fully-consumed elements to keep the jit score bucket small."""
         if not self._elements:
             return
-        lengths = np.float32([e.length for e in self._elements])
-        n = np.floor(np.cumsum(lengths) * np.float32(self.sample_rate)).astype(np.int64)
+        n = self._end_samples()
         # keep one consumed element of margin (its params blend into the next)
         drop = int(np.searchsorted(n, self._consumed_samples, side="right"))
         drop = max(0, drop - 1)
@@ -407,6 +421,7 @@ class StreamSession:
         self._elements = [
             PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
             for r in z["elems"]]
+        self._rev += 1   # restored score invalidates pool/end-sample caches
         self._consumed_samples = int(z["counters"][0])
         self._jitter_pos = int(z["counters"][1])
         self._state = SynthState(
@@ -500,10 +515,12 @@ class StreamPool:
             s._rebase()
             E = max(E, _bucket(len(s._elements)))
         v0 = self.sessions[0].voice
-        inc = v0.jitter_frequency
+        inc = float(v0.jitter_frequency)
         cells = 16
         for s in self.sessions:
-            need = int(np.floor((s._jitter_pos + blk + 1) * inc)) + 4
+            # pure-python floor (positive operand): numpy scalar ops here
+            # cost ~1 us x N sessions per tick
+            need = int((s._jitter_pos + blk + 1) * inc) + 4
             cells = max(cells, _bucket(need))
 
         key = (E, cells, tuple(s._rev for s in self.sessions),
