@@ -91,7 +91,14 @@ def main():
             t1 = pipelined(1)
             tk = pipelined(args.ticks)
             estimates.append((tk - t1) / (args.ticks - 1))
-        per_tick = min(estimates)
+        # a pair where pipelined(1) caught a slow fetch and pipelined(K) a
+        # fast one yields a non-positive difference — discard those; if the
+        # jitter ate every pair, fall back to best-case-over-all-attempts
+        positive = [e for e in estimates if e > 0]
+        per_tick = (min(positive) if positive
+                    else max((min(pipelined(args.ticks) for _ in range(3))
+                              - min(pipelined(1) for _ in range(3)))
+                             / (args.ticks - 1), 1e-6))
 
         block_seconds = args.block / sr
         agg_rt = n * block_seconds / per_tick

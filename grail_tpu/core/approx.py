@@ -26,6 +26,23 @@ def tan_approx(x):
     )
 
 
+def tan_approx_parts(x):
+    """(numerator N, denominator D) with tan_approx(x) == N/D, factored to
+    share subexpressions: N = q*(5-4p), D = p*(5-4q) with p=(x+0.5)(0.5-x),
+    q=(1-x)x. D differs from tan_approx's denominator by one product
+    re-association (~1 ulp); use where the division is composed into a
+    larger single-division expression (synth/kernel_fused.py derives the
+    SVF coefficients a1,a2,a3 from N, D and ONE reciprocal). This is the
+    same Bhaskara polynomial as tan_approx — keep both in this module so
+    the formula (part of the sound) has one home.
+    """
+    u = 1.0 - x
+    v = x + 0.5
+    p = v * (0.5 - x)
+    q = u * x
+    return q * (5.0 - 4.0 * p), p * (5.0 - 4.0 * q)
+
+
 def exp_approx(x):
     """Approximation of exp(-2*pi*x) ~= (1 - x)^5, accurate for x in [0, 1].
 
@@ -58,4 +75,5 @@ def np_exp_approx(x):
     return (o2 * o2 * o).astype(np.float32)
 
 
-__all__ = ["tan_approx", "exp_approx", "np_tan_approx", "np_exp_approx"]
+__all__ = ["tan_approx", "tan_approx_parts", "exp_approx",
+           "np_tan_approx", "np_exp_approx"]

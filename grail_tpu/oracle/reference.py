@@ -269,8 +269,15 @@ def oracle_sequence_exact(seq: Sequence[NpSequenceElem], sample_rate: float):
     boundaries (n_j = floor(C_j * sr)) — the same convention the vectorized
     closed form uses (synth/sequencer.py). The 4-case blend yields are the
     ORIGINAL oracle code, so equality against expand_score pins the fast
-    path exactly: its only deviation from oracle_sequence is the countdown
-    drift, nothing semantic.
+    path exactly: for scores without zero-length elements, its only
+    deviation from oracle_sequence is the countdown drift.
+
+    Zero-length caveat: the reference advances at most one element per
+    emitted sample, so a zero-length SequenceElem still occupies one
+    sample; this twin (like expand_score's duplicate-boundary skip) emits
+    nothing for it. No frontend produces interior zero-length elements
+    (intonator lengths are bounded below); zero-length rows exist only as
+    trailing score padding, where both conventions agree.
     """
     elems = list(seq)
     if not elems:

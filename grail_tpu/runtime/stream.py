@@ -289,10 +289,12 @@ class StreamSession:
 
     def _end_samples(self) -> np.ndarray:
         """Cumulative element end-samples [E] int64 (f32 cumsum x sr, floored
-        — the sequencer's boundary convention). Cached per score revision:
-        StreamPool's per-tick bookkeeping calls this for every session every
-        tick, and rebuilding numpy arrays dominated the steady-state tick."""
-        key = (self._rev, len(self._elements), id(self._elements))
+        — the sequencer's boundary convention). Cached on _rev: every score
+        mutation path (feed, horizon append, rebase, load_state) bumps it —
+        that is the documented contract. StreamPool's per-tick bookkeeping
+        calls this for every session every tick, and rebuilding numpy
+        arrays dominated the steady-state tick."""
+        key = self._rev
         if self._endn_key != key:
             if self._elements:
                 lengths = np.float32([e.length for e in self._elements])

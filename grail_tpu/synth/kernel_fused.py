@@ -60,7 +60,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.approx import exp_approx
+from ..core.approx import exp_approx, tan_approx_parts
 from ..core.constants import NUM_FORMANTS
 from ..core.rng import lehmer_affine
 from .score import Score
@@ -433,18 +433,14 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     alpha_lp = exp_approx(sm_e)
     tamp = (1.0 + (noise - 1.0) * tb_e) * am_j
     # SVF coefficients via ONE division (vs tan/kq/a1's three): with the
-    # Bhaskara tan_approx g = N/D (core/approx.py), k = bw/ff,
+    # Bhaskara tan_approx g = N/D (core/approx.py:tan_approx_parts),
+    # k = bw/ff,
     #   a1 = 1/(1 + g(g+k)) = ff*D^2 / (ff*D^2 + ff*N^2 + bw*N*D)
     #   a2 = g*a1 = ff*N*D / den,   a3 = g*a2 = ff*N^2 / den
     # — all denominator terms are positive for ff in (0, 0.5), bw > 0, so
     # the re-association is cancellation-free (few-ulp drift, << -60 dB).
     x = ff_j
-    u_ = 1.0 - x
-    v_ = x + 0.5
-    p_ = v_ * (0.5 - x)
-    q_ = u_ * x
-    N_ = q_ * (5.0 - 4.0 * p_)                # tan numerator
-    D_ = p_ * (5.0 - 4.0 * q_)                # tan denominator
+    N_, D_ = tan_approx_parts(x)
     fD2 = x * (D_ * D_)
     fN2 = x * (N_ * N_)
     ND = N_ * D_
