@@ -37,6 +37,9 @@ def _find_argument(args, short, long):
 
 
 def main(argv=None) -> int:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = list(sys.argv[1:] if argv is None else argv)
 
     if _has_argument(args, "-h", "--help") or not args:

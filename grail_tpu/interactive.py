@@ -20,6 +20,9 @@ from .runtime.stream import StreamSession
 
 
 def main(argv=None) -> int:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="grail-tpu interactive streaming TTS")
     ap.add_argument("-v", "--voice", default="plain")
     ap.add_argument("-l", "--language", default="english")

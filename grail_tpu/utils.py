@@ -1,8 +1,32 @@
-"""Shared utilities: spectral-error metric (the driver's fidelity measure)."""
+"""Shared utilities: spectral-error metric (the driver's fidelity measure),
+persistent-compilation-cache setup for the user-facing entry points."""
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user directory so
+    repeat CLI/REPL invocations skip the (remote, ~20-300 s) TPU compile.
+    Set GRAIL_TPU_CACHE to override the location, or to '0' to disable.
+    Safe to call multiple times; never raises."""
+    import os
+
+    loc = os.environ.get("GRAIL_TPU_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache", "grail_tpu",
+                           "jax")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block synthesis on it
 
 
 def stft_mag(x: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:

@@ -98,6 +98,21 @@ def test_synthesize_batch_fused_backend():
         assert sample_error_db(a, b) < -55
 
 
+def test_synthesize_batch_fused_multivoice():
+    # mixed voices in one fused device program == the same voices solo
+    from grail_tpu.api import synthesize_batch
+
+    outs = synthesize_batch(["aeae", "aeae"], voice=["plain", "bright"],
+                            seeds=[1, 1], backend="fused_interpret")
+    ref = synthesize_batch(["aeae", "aeae"], voice=["plain", "bright"],
+                           seeds=[1, 1], backend="xla")
+    for a, b in zip(outs, ref):
+        assert sample_error_db(a, b) < -55
+    # the two voices must actually differ audibly
+    n = min(len(outs[0]), len(outs[1]))
+    assert sample_error_db(outs[0][:n], outs[1][:n]) > -20
+
+
 def test_stream_pool_fused_matches_solo():
     # batched serving on the fused kernel == independent XLA-path sessions
     from grail_tpu.runtime.stream import StreamPool, StreamSession
