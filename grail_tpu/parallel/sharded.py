@@ -216,4 +216,52 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     return (out * valid).T                                    # [B, T]
 
 
-__all__ = ["make_mesh", "synthesize_block_sp", "sharded_pipeline"]
+def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False):
+    """Multi-chip SERVING: build a jitted StreamPool tick with sessions
+    sharded over the mesh's 'data' axis.
+
+    Serving is embarrassingly parallel across sessions, so each chip runs
+    the fused tick (runtime.stream._stream_tick_fused_body: score expansion
+    + jitter + DSP in one Pallas launch) on its local session slice — no
+    collectives at all; XLA inserts nothing. The per-lane math is
+    lane-count independent, so a sharded pool's audio matches the
+    single-device pool's to ~1 ulp (shape-dependent FMA contraction;
+    tested in tests/test_parallel.py).
+
+    Sizing: each shard lane-pads its local sessions to a 128-lane tile, so
+    production meshes want N = 128 * n_data sessions (e.g. 1024 sessions on
+    a v5e-8 slice); correctness runs on any divisible N.
+
+    jparams must carry PER-SESSION delta arrays (jdf/jdff/jda of shape
+    [N]) — StreamPool._prepare_tick always builds them that way.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..runtime.stream import _stream_tick_fused_body
+
+    d = P("data")
+
+    def body(scores, lattices, jparams, sample_rate, offsets, joffsets,
+             states):
+        return _stream_tick_fused_body(scores, lattices, jparams,
+                                       sample_rate, offsets, joffsets,
+                                       states, block, interpret)
+
+    def specs_like(tree, spec):
+        return jax.tree.map(lambda _: spec, tree)
+
+    def make(scores, lattices, jparams, sample_rate, offsets, joffsets,
+             states):
+        in_specs = (specs_like(scores, d), specs_like(lattices, d),
+                    (P(), d, d, d), P(), d, d, specs_like(states, d))
+        out_specs = (d, specs_like(states, d), d, d)
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+        return fn(scores, lattices, jparams, sample_rate, offsets,
+                  joffsets, states)
+
+    return jax.jit(make)
+
+
+__all__ = ["make_mesh", "synthesize_block_sp", "sharded_pipeline",
+           "sharded_stream_tick_fn"]

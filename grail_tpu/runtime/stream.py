@@ -157,10 +157,10 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
     return jnp.moveaxis(out, 0, 1), states
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
-                       sample_rate, offsets, joffsets, states: SynthState,
-                       block: int, interpret: bool = False):
+def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
+                            sample_rate, offsets, joffsets,
+                            states: SynthState,
+                            block: int, interpret: bool = False):
     """One pool tick on the fully-fused kernel: per-session score offsets go
     in as per-lane g0, absolute jitter positions as g0_jitter. N is
     lane-padded (the kernel runs whole 128-lane tiles); padding lanes
@@ -170,6 +170,12 @@ def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
     round-trip through the device so steady-state ticks (no new text, no
     rebase) dispatch with ZERO host->device transfers: on the axon platform
     every per-tick transfer costs a ~30 ms tunnel round trip.
+
+    Un-jitted body: jit'd below as _stream_tick_fused, and wrapped
+    per-shard by parallel.sharded.sharded_stream_tick_fn (multi-chip
+    serving: sessions shard over the mesh 'data' axis; the per-lane math
+    is lane-count independent, so shard outputs match the single-device
+    pool's to ~1 ulp of FMA-contraction variance).
     """
     from ..synth.kernel_fused import LANE_F, build_tables, synth_fused_pallas
 
@@ -196,6 +202,15 @@ def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
         interpret=interpret)
     return (audio.T[:N], SynthState(*(x[:N] for x in new_states)),
             offsets + block, joffsets + block)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
+                       sample_rate, offsets, joffsets, states: SynthState,
+                       block: int, interpret: bool = False):
+    return _stream_tick_fused_body(scores, lattices, jparams, sample_rate,
+                                   offsets, joffsets, states, block,
+                                   interpret)
 
 
 class StreamSession:
@@ -467,7 +482,8 @@ class StreamPool:
 
     def __init__(self, n: int, voice="generic", language="generic",
                  block: int = 1024, seeds=None, contour: bool = False,
-                 speaking_rate: float = 1.0, backend: Optional[str] = None):
+                 speaking_rate: float = 1.0, backend: Optional[str] = None,
+                 mesh=None):
         seeds = list(seeds) if seeds is not None else list(range(n))
         self.sessions = [
             StreamSession(voice=voice, language=language, seed=seeds[i],
@@ -488,6 +504,23 @@ class StreamPool:
         if backend.startswith("fused") and block % CHUNK_F != 0:
             backend = "xla"
         self.backend = backend
+        # multi-chip serving: sessions shard over mesh axis 'data'; each
+        # chip runs the fused tick on its local slice (no collectives).
+        # See parallel.sharded.sharded_stream_tick_fn for sizing guidance.
+        self.mesh = mesh
+        self._sharded_tick = None
+        if mesh is not None:
+            if not backend.startswith("fused"):
+                raise ValueError("mesh-sharded StreamPool requires the "
+                                 "fused backend (got %r)" % backend)
+            nd = mesh.shape["data"]
+            if n % nd != 0:
+                raise ValueError(f"n={n} sessions must divide over "
+                                 f"mesh data axis ({nd})")
+            from ..parallel.sharded import sharded_stream_tick_fn
+
+            self._sharded_tick = sharded_stream_tick_fn(
+                mesh, block, backend == "fused_interpret")
         # DSP state lives DEVICE-RESIDENT as one stacked [N, ...] pytree:
         # per-session host pulls cost a fixed ~30 ms tunnel round trip EACH
         # on the axon platform (5 fields x N sessions = seconds per tick).
@@ -584,10 +617,13 @@ class StreamPool:
         backend = dev["backend"]
         srj = self._srj
         if backend.startswith("fused"):
-            out, states, off2, joff2 = _stream_tick_fused(
+            tick = (self._sharded_tick if self._sharded_tick is not None
+                    else functools.partial(
+                        _stream_tick_fused, block=blk,
+                        interpret=backend == "fused_interpret"))
+            out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
-                dev["offsets"], dev["joffsets"], self._states, blk,
-                backend == "fused_interpret")
+                dev["offsets"], dev["joffsets"], self._states)
             dev["offsets"], dev["joffsets"] = off2, joff2
         else:
             out, states = _stream_block_batch(

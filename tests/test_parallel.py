@@ -84,3 +84,39 @@ def test_full_sharded_pipeline_matches_single():
         s, l, jp, jnp.float32(sr), T, mesh))(batched, lattices)
     out_ref = _synth_jit_batch(batched, lattices, jp, jnp.float32(sr), T, "xla")
     assert sample_error_db(np.asarray(out_sp), np.asarray(out_ref)) < -100
+
+
+def test_sharded_stream_pool_matches_unsharded():
+    """Multi-chip serving: a StreamPool with sessions sharded over the
+    'data' mesh axis matches the single-device pool to ~1 ulp (the
+    per-lane math is lane-count independent; XLA's shape-dependent FMA
+    contraction introduces last-bit differences)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    N, blk, ticks = 8, 1024, 3
+    texts = ["hello", "world", "aeio", "tpu go"]
+    mesh = make_mesh(4, 1)
+
+    def run(mesh_arg):
+        pool = StreamPool(N, voice="plain", language="english", block=blk,
+                          backend="fused_interpret", mesh=mesh_arg)
+        for i, t in enumerate(texts):
+            pool.feed(i, t)
+            pool.flush(i)
+        return np.concatenate([pool.read_block() for _ in range(ticks)],
+                              axis=1)
+
+    sharded = run(mesh)
+    plain = run(None)
+    np.testing.assert_allclose(sharded, plain, atol=2e-6)
+    assert sample_error_db(sharded.ravel(), plain.ravel()) < -100
+
+
+def test_sharded_stream_pool_rejects_bad_config():
+    from grail_tpu.runtime.stream import StreamPool
+
+    mesh = make_mesh(4, 1)
+    with pytest.raises(ValueError):
+        StreamPool(6, mesh=mesh, backend="fused_interpret")  # 6 % 4 != 0
+    with pytest.raises(ValueError):
+        StreamPool(8, mesh=mesh, backend="xla")
