@@ -18,6 +18,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--text", default="aeae")
+    ap.add_argument("--voice", default="generic",
+                    help="voice preset for both oracle and fast paths")
+    ap.add_argument("--language", default="generic")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -27,30 +30,36 @@ def main():
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from grail_tpu import languages
+    import importlib
+
+    from grail_tpu import languages as lang_mod
     from grail_tpu.api import synthesize, synthesize_batch
     from grail_tpu.oracle import oracle_pipeline
     from grail_tpu.utils import sample_error_db, spectral_error_db
-    from grail_tpu.voices.preset_generic import SPEC
 
-    gold = oracle_pipeline(args.text, SPEC, languages.generic())
+    spec = importlib.import_module(
+        f"grail_tpu.voices.preset_{args.voice}").SPEC
+    language = lang_mod.get_language(args.language)
 
+    gold = oracle_pipeline(args.text, spec, language)
+
+    kw = dict(voice=args.voice, language=args.language)
     cases = {
-        "scan": lambda: synthesize(args.text, use_scan=True),
-        "xla_block": lambda: synthesize(args.text),
+        "scan": lambda: synthesize(args.text, use_scan=True, **kw),
+        "xla_block": lambda: synthesize(args.text, **kw),
         "pallas" if args.tpu else "pallas_interpret":
             lambda: synthesize_batch(
-                [args.text],
+                [args.text], **kw,
                 backend="pallas" if args.tpu else "pallas_interpret")[0],
         "fused" if args.tpu else "fused_interpret":
             lambda: synthesize_batch(
-                [args.text],
+                [args.text], **kw,
                 backend="fused" if args.tpu else "fused_interpret")[0],
         # the B=1 call above exercises the split path (S up to 128); also
         # pin the unsplit fused kernel via a 128-lane batch
         "fused_unsplit" if args.tpu else "fused_unsplit_interpret":
             lambda: synthesize_batch(
-                [args.text] * 128, seeds=[0] * 128,
+                [args.text] * 128, seeds=[0] * 128, **kw,
                 backend="fused" if args.tpu else "fused_interpret")[0],
     }
     for name, fn in cases.items():
@@ -59,6 +68,8 @@ def main():
             "bench": "fidelity",
             "path": name,
             "text": args.text,
+            "voice": args.voice,
+            "language": args.language,
             "spectral_error_db": round(spectral_error_db(audio, gold), 2),
             "sample_error_db": round(sample_error_db(audio, gold), 2),
             "pass_minus60": spectral_error_db(audio, gold) < -60,
