@@ -74,3 +74,29 @@ def test_fused_matches_xla_on_chunk_edge_boundaries(seed):
     for b in range(B):
         assert sample_error_db(out[b, :Ns[b]], ref[b, :Ns[b]]) < -60, b
     assert np.abs(out - ref).max() < 5e-4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_streamed_feed_chunking_invariant(seed):
+    """Feeding text in arbitrary random chunks (splitting digraphs and
+    whole words anywhere) must transcribe to the same phoneme stream as
+    feeding it at once — the incremental transcriber's held-match logic
+    under fuzzed split points."""
+    from grail_tpu import languages
+    from grail_tpu.runtime.stream import StreamSession
+    from grail_tpu.text.transcribe import transcribe_chars
+
+    rng = np.random.default_rng(seed)
+    text = "she pushed the fish to the shore with a thin stick"
+    eng = languages.get_language("english")
+    whole = list(transcribe_chars(text, eng))
+
+    s = StreamSession(voice="plain", language="english")
+    i = 0
+    while i < len(text):
+        step = int(rng.integers(1, 4))
+        s.feed(text[i:i + step])
+        i += step
+    s.flush()
+    streamed = [pe.phoneme for pe in s._elements]
+    assert streamed == whole
