@@ -14,7 +14,6 @@ per (num_elems, num_samples) shape bucket and batched with vmap.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Optional, Sequence
 
 import jax

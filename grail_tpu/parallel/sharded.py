@@ -181,7 +181,6 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     from jax.experimental.shard_map import shard_map
 
     from ..synth.jitter import apply_jitter
-    from ..synth.score import Score
     from ..synth.sequencer import expand_score
 
     ns = mesh.shape["seq"]

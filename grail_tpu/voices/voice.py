@@ -13,7 +13,7 @@ phoneme -> parameter lookup on device is a single gather.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 import jax
