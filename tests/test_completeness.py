@@ -90,6 +90,19 @@ def test_espanol_language():
     assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
 
 
+def test_deutsch_language():
+    de = languages.get_language("deutsch")
+    assert [p.name for p in transcribe("schule", de, leading_silence=False)] == \
+        ["SH", "U", "L", "EH"]
+    assert [p.name for p in transcribe("zeit", de, leading_silence=False)] == \
+        ["STOP", "T", "S", "AH", "GLIDE", "IH", "STOP", "T"]  # z=[ts], ei=[ai]
+    assert [p.name for p in transcribe("straße", de, leading_silence=False)] == \
+        ["SH", "STOP", "T", "R", "A", "S", "EH"]  # st onset, ß=[s]
+    a = synthesize("guten morgen", voice="plain", language="deutsch",
+                   contour=True)
+    assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
+
+
 def test_voice_variants_differ():
     from grail_tpu.utils import sample_error_db
 
