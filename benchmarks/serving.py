@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--sizes", type=int, nargs="*", default=[16, 64, 128])
     ap.add_argument("--ticks", type=int, default=32)
+    ap.add_argument("--readahead", type=int, default=8,
+                    help="blocks per dispatch for the read-ahead measurement")
     args = ap.parse_args()
 
     if args.cpu:
@@ -100,6 +102,25 @@ def main():
                               - min(pipelined(1) for _ in range(3)))
                              / (args.ticks - 1), 1e-6))
 
+        # (c) read-ahead: k blocks per dispatch (trades k*block lookahead
+        # latency for amortizing per-dispatch cost; StreamPool.read_blocks)
+        ka = args.readahead
+
+        def pipelined_ahead(reps):
+            t0 = time.perf_counter()
+            outs = [pool.read_blocks(ka, sync=False) for _t in range(reps)]
+            _ = float(np.asarray(outs[-1][0, 0]))
+            return time.perf_counter() - t0
+
+        _ = pool.read_blocks(ka, sync=False)  # compile
+        est = []
+        for _ in range(5):
+            t1 = pipelined_ahead(1)
+            tk = pipelined_ahead(8)
+            est.append((tk - t1) / 7 / ka)
+        pos = [e for e in est if e > 0]
+        per_block_ahead = min(pos) if pos else float("nan")
+
         block_seconds = args.block / sr
         agg_rt = n * block_seconds / per_tick
         print(json.dumps({
@@ -113,6 +134,10 @@ def main():
             "aggregate_x_realtime": round(agg_rt, 1),
             "realtime_ok_pipelined": per_tick < block_seconds,
             "realtime_ok_sync": sync_ms / 1e3 < block_seconds,
+            "readahead_k": ka,
+            "readahead_block_ms": round(per_block_ahead * 1e3, 3),
+            "readahead_x_realtime": round(
+                n * block_seconds / per_block_ahead, 1),
         }), flush=True)
 
 

@@ -323,22 +323,43 @@ class StreamSession:
 
     def _ensure_audio_horizon(self, samples_needed: int) -> None:
         """Idle behavior: extend with Silence elements (the reference's
-        repeat_with(' ') -> Silence path) until the score covers the read."""
-        while (int(self._end_samples()[-1]) - self._consumed_samples
-               < samples_needed):
-            self._elements.append(
-                PhonemeElem(Phoneme.SILENCE, 0.5, 0.5, self.voice.center_frequency))
-            self._rev += 1
+        repeat_with(' ') -> Silence path) until the score covers the read.
 
-    def _rebase(self) -> None:
-        """Drop fully-consumed elements to keep the jit score bucket small."""
+        Appends in BULK (several seconds at once): every append bumps the
+        score revision, and the StreamPool upload cache is keyed on
+        revisions — one element per tick would force a full table
+        re-upload on nearly every tick of an idle session. Trailing
+        silence elements are semantically idempotent (after the first one
+        completes the fade-out, the rest render exact silence), so
+        over-appending never changes the audio."""
+        deficit = (samples_needed
+                   - (int(self._end_samples()[-1]) - self._consumed_samples))
+        if deficit <= 0:
+            return
+        # We are about to bump the revision anyway — shed consumed elements
+        # first so an idle session's element count converges to a steady
+        # state instead of oscillating across a jit bucket boundary
+        # (append-grow / rebase-shrink cycles were forcing tick recompiles).
+        self._rebase(min_drop=0)
+        margin = max(4 * samples_needed, int(2 * self.sample_rate))
+        n_el = -(-(deficit + margin) // int(0.5 * self.sample_rate))
+        sil = PhonemeElem(Phoneme.SILENCE, 0.5, 0.5,
+                          self.voice.center_frequency)
+        self._elements.extend([sil] * n_el)
+        self._rev += 1
+
+    def _rebase(self, min_drop: int = 8) -> None:
+        """Drop fully-consumed elements to keep the jit score bucket small.
+
+        `min_drop` batches revision bumps (every bump invalidates the pool
+        upload cache); pass 0 when a bump is happening anyway."""
         if not self._elements:
             return
         n = self._end_samples()
         # keep one consumed element of margin (its params blend into the next)
         drop = int(np.searchsorted(n, self._consumed_samples, side="right"))
         drop = max(0, drop - 1)
-        if drop > 8:
+        if drop > min_drop:
             self._elements = self._elements[drop:]
             self._consumed_samples -= int(n[drop - 1])
             self._rev += 1
@@ -508,7 +529,7 @@ class StreamPool:
         # chip runs the fused tick on its local slice (no collectives).
         # See parallel.sharded.sharded_stream_tick_fn for sizing guidance.
         self.mesh = mesh
-        self._sharded_tick = None
+        self._sharded_ticks = {}   # {samples: jitted sharded tick fn}
         if mesh is not None:
             if not backend.startswith("fused"):
                 raise ValueError("mesh-sharded StreamPool requires the "
@@ -517,10 +538,6 @@ class StreamPool:
             if n % nd != 0:
                 raise ValueError(f"n={n} sessions must divide over "
                                  f"mesh data axis ({nd})")
-            from ..parallel.sharded import sharded_stream_tick_fn
-
-            self._sharded_tick = sharded_stream_tick_fn(
-                mesh, block, backend == "fused_interpret")
         # DSP state lives DEVICE-RESIDENT as one stacked [N, ...] pytree:
         # per-session host pulls cost a fixed ~30 ms tunnel round trip EACH
         # on the axon platform (5 fields x N sessions = seconds per tick).
@@ -541,9 +558,10 @@ class StreamPool:
         for s in (self.sessions if i is None else [self.sessions[i]]):
             s.flush()
 
-    def _prepare_tick(self):
-        """Host frontend + (cached) device upload for one tick."""
-        blk = self.block
+    def _prepare_tick(self, samples=None):
+        """Host frontend + (cached) device upload for one tick of `samples`
+        (default one block)."""
+        blk = self.block if samples is None else int(samples)
         E = 16
         for s in self.sessions:
             s._ensure_audio_horizon(blk)
@@ -612,15 +630,35 @@ class StreamPool:
         sync=False returns the device array without fetching — callers can
         pipeline many ticks and fetch audio in bulk (on axon every
         device->host fetch costs a ~30 ms round trip)."""
-        blk = self.block
-        dev = self._prepare_tick()
+        return self.read_blocks(1, sync=sync)
+
+    def read_blocks(self, k: int = 1, sync: bool = True) -> np.ndarray:
+        """Advance every session by k blocks in ONE device dispatch:
+        returns [N, k*block] audio.
+
+        Read-ahead serving: when sessions have text buffered ahead, a k>1
+        read trades k*block of lookahead latency for amortizing the
+        per-dispatch cost (host prep + launch) across k blocks — the
+        aggregate-throughput knob. k=1 is the latency-bounded live tick.
+        State continuity across calls is the same f32 phase handoff either
+        way, so mixing k values is safe."""
+        blk = self.block * int(k)
+        dev = self._prepare_tick(blk)
         backend = dev["backend"]
         srj = self._srj
         if backend.startswith("fused"):
-            tick = (self._sharded_tick if self._sharded_tick is not None
-                    else functools.partial(
-                        _stream_tick_fused, block=blk,
-                        interpret=backend == "fused_interpret"))
+            if self.mesh is not None:
+                tick = self._sharded_ticks.get(blk)
+                if tick is None:
+                    from ..parallel.sharded import sharded_stream_tick_fn
+
+                    tick = sharded_stream_tick_fn(
+                        self.mesh, blk, backend == "fused_interpret")
+                    self._sharded_ticks[blk] = tick
+            else:
+                tick = functools.partial(
+                    _stream_tick_fused, block=blk,
+                    interpret=backend == "fused_interpret")
             out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
                 dev["offsets"], dev["joffsets"], self._states)

@@ -176,3 +176,28 @@ def test_cli_help_and_version():
     from grail_tpu.cli import main
     assert main(["-h"]) == 0
     assert main(["--version"]) == 0
+
+
+def test_pool_read_blocks_readahead_matches_single_ticks():
+    """read_blocks(k) (one dispatch for k blocks) must match k single
+    ticks; the only difference is the f32 phase handoff between calls
+    (same 2^-25-cycle quantization as fused state continuation)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    def run(reader):
+        pool = StreamPool(2, voice="plain", language="english", block=1024,
+                          backend="fused_interpret")
+        pool.feed(0, "hello")
+        pool.flush(0)
+        pool.feed(1, "aeio")
+        pool.flush(1)
+        return reader(pool)
+
+    ahead = run(lambda p: np.concatenate(
+        [p.read_blocks(2), p.read_blocks(2)], axis=1))
+    single = run(lambda p: np.concatenate(
+        [p.read_block() for _ in range(4)], axis=1))
+    assert ahead.shape == single.shape == (2, 4096)
+    np.testing.assert_allclose(ahead, single, atol=5e-4)
+    from grail_tpu.utils import sample_error_db
+    assert sample_error_db(ahead.ravel(), single.ravel()) < -60
