@@ -100,3 +100,43 @@ def test_streamed_feed_chunking_invariant(seed):
     s.flush()
     streamed = [pe.phoneme for pe in s._elements]
     assert streamed == whole
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pool_matches_solo_under_random_interleaving(seed):
+    """StreamPool under a randomized feed/tick schedule must match
+    independent solo sessions driven by the same schedule — the pooled
+    tick's per-session offset/jitter bookkeeping under irregular text
+    arrival and idle gaps."""
+    from grail_tpu.runtime.stream import StreamPool, StreamSession
+
+    rng = np.random.default_rng(seed)
+    N, blk, ticks = 2, 1024, 6
+    words = ["hello ", "push ", "aeio ", "fish "]
+    # schedule[t][i] = text session i receives just before tick t (or None)
+    schedule = [[words[int(rng.integers(0, 4))]
+                 if rng.random() < 0.4 else None
+                 for _ in range(N)] for _ in range(ticks)]
+
+    pool = StreamPool(N, voice="plain", language="english", block=blk,
+                      backend="fused_interpret")
+    pooled = []
+    for t in range(ticks):
+        for i, txt in enumerate(schedule[t]):
+            if txt is not None:
+                pool.feed(i, txt)
+                pool.flush(i)
+        pooled.append(pool.read_block())
+    pooled = np.concatenate(pooled, axis=1)
+
+    for i in range(N):
+        s = StreamSession(voice="plain", language="english", seed=i,
+                          block=blk)
+        solo = []
+        for t in range(ticks):
+            if schedule[t][i] is not None:
+                s.feed(schedule[t][i])
+                s.flush()
+            solo.append(s.read())
+        solo = np.concatenate(solo)
+        assert sample_error_db(pooled[i], solo) < -60, (seed, i)
