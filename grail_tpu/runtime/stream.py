@@ -616,7 +616,13 @@ class StreamPool:
 
             if not fused_supported(scores_b, self.sample_rate):
                 backend = "xla"   # pathological tick: per-chunk row
-                #                   selection precondition violated
+                #                   selection precondition violated.
+                #                   NOTE: a mesh-sharded pool serves such a
+                #                   tick unsharded (correctness preserved;
+                #                   jit reshards the state pytree) — text
+                #                   frontends never produce sub-chunk
+                #                   elements, so this is a non-path in
+                #                   practice
         dev = dict(scores=jax.device_put(scores_b),
                    lattices=jax.device_put(lattices), jparams=jparams,
                    offsets=offsets, joffsets=joffsets, backend=backend)
