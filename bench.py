@@ -86,6 +86,10 @@ def main():
     wall_1 = min(timed(1) for _ in range(4))
     wall_k = min(timed(AMORTIZE_K) for _ in range(3))
     device_wall = (wall_k - wall_1) / (AMORTIZE_K - 1)
+    if device_wall <= 0:
+        # pathological tunnel jitter (every 1-run fetch slower than the
+        # K-run total): fall back to the conservative upper bound
+        device_wall = wall_k / AMORTIZE_K
     fixed_overhead = wall_1 - device_wall
 
     audio_seconds = sum(Ns) / sr  # the 64 real utterances
