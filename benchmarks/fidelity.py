@@ -30,15 +30,13 @@ def main():
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import importlib
-
     from grail_tpu import languages as lang_mod
     from grail_tpu.api import synthesize, synthesize_batch
     from grail_tpu.oracle import oracle_pipeline
     from grail_tpu.utils import sample_error_db, spectral_error_db
+    from grail_tpu.voices import get_spec
 
-    spec = importlib.import_module(
-        f"grail_tpu.voices.preset_{args.voice}").SPEC
+    spec = get_spec(args.voice)   # registry: works for variants too
     language = lang_mod.get_language(args.language)
 
     gold = oracle_pipeline(args.text, spec, language)

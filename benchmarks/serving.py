@@ -119,7 +119,10 @@ def main():
             tk = pipelined_ahead(8)
             est.append((tk - t1) / 7 / ka)
         pos = [e for e in est if e > 0]
-        per_block_ahead = min(pos) if pos else float("nan")
+        # same jitter guard as measurement (b): never emit NaN/negative
+        # into the JSON artifact — fall back to the bulk upper bound
+        per_block_ahead = (min(pos) if pos
+                           else max(pipelined_ahead(8) / (8 * ka), 1e-6))
 
         block_seconds = args.block / sr
         agg_rt = n * block_seconds / per_tick

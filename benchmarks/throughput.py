@@ -66,6 +66,8 @@ def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
     wall = min(timed(1) for _ in range(max(iters, 3)))
     wall_k = min(timed(K) for _ in range(3))
     device = (wall_k - wall) / (K - 1)
+    if device <= 0:   # pathological tunnel jitter: conservative upper bound
+        device = wall_k / K
     audio_seconds = sum(Ns) / sr
     return {
         "bench": "throughput",

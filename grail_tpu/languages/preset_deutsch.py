@@ -4,9 +4,10 @@ German orthography is comparatively regular; the longest-match transcriber
 handles its many digraphs/trigraphs directly ("sch" beats "ch" beats "c").
 Approximations within the reduced-IPA inventory (text/phonemes.py): front
 rounded vowels map to their unrounded neighbours (ö→EH, ü→IH), both ich-
-and ach-laut map to H, and "s(p|t)" onset clusters use the standard
-[SH]-onset pronunciation. Plosives emit STOP + release, diphthongs use
-GLIDE, exactly like the english preset.
+and ach-laut map to H. Word-initial "s(p|t)" takes the standard [SH] onset
+via space-prefixed rules (mid-sentence; utterance-initial words fall to
+the coda [s] rule). Plosives emit STOP + release, diphthongs use GLIDE,
+exactly like the english preset.
 
 Uppercase umlauts get explicit rules: the reference's case folding is
 ASCII-only (src/lib.rs:1127-1133), so `case_sensitive=False` does not fold
@@ -37,10 +38,23 @@ _RULES = [
     ("tz", [STOP, P.T, P.S]),
     ("qu", [STOP, P.K, P.V]),
     ("ng", [P.NG]),
-    ("sp", [P.SH, STOP, P.P]),
-    ("st", [P.SH, STOP, P.T]),
+    # s+p/s+t: [SH] onset only after a word boundary (space-prefixed rules);
+    # word-internal/final st/sp — the majority case (ist, fenster, wespe) —
+    # stays [s]. Utterance-initial words lack the leading space and fall to
+    # the coda rule; mid-sentence onsets are the common case and win.
+    (" sp", [S, P.SH, STOP, P.P]),
+    (" st", [S, P.SH, STOP, P.T]),
+    (" s", [S, P.Z]),     # prefix closure for the two rules above
+    ("sp", [P.S, STOP, P.P]),
+    ("st", [P.S, STOP, P.T]),
     ("ss", [P.S]),
     ("ß", [P.S]),
+    # prefix closure (no-backtracking automaton; see preset_english.py):
+    # without these, "nichts"/"rechts" lose their final [ts] cluster
+    ("ts", [STOP, P.T, P.S]),
+    ("tsc", [STOP, P.T, P.S, STOP, P.K]),
+    ("sc", [P.Z, STOP, P.K]),
+    ("q", [STOP, P.K]),
     # vowel digraphs / diphthongs
     ("ie", [P.I]),
     ("ei", [P.AH, G, P.IH]),

@@ -41,6 +41,17 @@ _RULES = [
     ("oa", [P.OW]),
     ("igh", [P.AH, G, P.IH]),
     ("tion", [P.SH, P.AH, P.N]),
+    # prefix closure: the reference automaton has NO backtracking — when a
+    # longer rule's candidacy breaks, it falls back to the rule at the OLD
+    # window bottom only if that rule's length equals the consumed prefix
+    # (src/lib.rs:1152-1155). Every proper prefix of a multi-char rule must
+    # therefore itself be a rule, or inputs like "time"/"big"/"patio" get
+    # their prefix swallowed into silence (tests/test_transcribe.py pins
+    # the dead-end semantics; test_completeness pins these words).
+    ("ti", [STOP, P.T, P.IH]),
+    ("tio", [STOP, P.T, P.IH, P.O]),
+    ("ig", [P.IH, STOP, P.G]),
+    ("q", [STOP, P.K]),
     # single letters
     ("a", [P.AE]),
     ("b", [STOP, P.B]),

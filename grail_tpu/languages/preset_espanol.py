@@ -19,6 +19,10 @@ _RULES = [
     ("qu", [STOP, P.K]),
     ("gue", [STOP, P.G, P.EH]),
     ("gui", [STOP, P.G, P.I]),
+    # prefix closure (no-backtracking automaton; see preset_english.py):
+    # without these, "guapo" loses "gua" and a dangling "q" swallows
+    ("gu", [STOP, P.G, P.U]),
+    ("q", [STOP, P.K]),
     ("ce", [P.S, P.EH]),
     ("ci", [P.S, P.I]),
     ("ge", [P.H, P.EH]),

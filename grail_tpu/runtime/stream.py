@@ -231,6 +231,7 @@ class StreamSession:
         #                              changes (StreamPool upload cache key)
         self._endn_key = None        # cache for _end_samples (per-tick host
         self._endn = None            # bookkeeping must not rebuild arrays)
+        self._horizon_tail = 0       # trailing auto-appended idle silence
         self._pool_ref = None        # (pool, index) when owned by a StreamPool
         self._consumed_samples = 0   # samples consumed within current score
         self._jitter_pos = 0         # absolute sample counter (jitter phase)
@@ -299,8 +300,38 @@ class StreamSession:
             return
         pelems = intonate(phonemes, self.language, self.voice,
                           contour=self.contour, speaking_rate=self.speaking_rate)
+        self._trim_horizon_tail()
         self._elements.extend(pelems)
         self._rev += 1
+
+    def _trim_horizon_tail(self) -> None:
+        """Drop auto-appended trailing silence that has not started playing,
+        keeping the immediate next element (the current element's crossfade
+        target). The bulk idle-horizon append pre-schedules seconds of
+        silence for upload-cache stability; without this trim, text fed
+        after an idle period would only start AFTER that pre-scheduled
+        silence (seconds of dead air instead of ~one block of latency)."""
+        t = min(self._horizon_tail, len(self._elements))
+        if t <= 0:
+            self._horizon_tail = 0
+            return
+        n = self._end_samples()
+        E = len(self._elements)
+        keep = self._consumed_samples
+        drop = 0
+        while drop < t:
+            i = E - 1 - drop
+            start = int(n[i - 1]) if i > 0 else 0
+            if start <= keep:       # started / current element: keep
+                break
+            prev_start = int(n[i - 2]) if i > 1 else 0
+            if prev_start <= keep:  # i is the current element's blend
+                break               # target: keep one for continuity
+            drop += 1
+        if drop:
+            self._elements = self._elements[:E - drop]
+            self._rev += 1
+        self._horizon_tail = 0
 
     def _end_samples(self) -> np.ndarray:
         """Cumulative element end-samples [E] int64 (f32 cumsum x sr, floored
@@ -346,6 +377,7 @@ class StreamSession:
         sil = PhonemeElem(Phoneme.SILENCE, 0.5, 0.5,
                           self.voice.center_frequency)
         self._elements.extend([sil] * n_el)
+        self._horizon_tail += n_el   # trimmed when real text arrives
         self._rev += 1
 
     def _rebase(self, min_drop: int = 8) -> None:
@@ -460,6 +492,7 @@ class StreamSession:
             PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
             for r in z["elems"]]
         self._rev += 1   # restored score invalidates pool/end-sample caches
+        self._horizon_tail = 0       # restored elements count as real
         self._consumed_samples = int(z["counters"][0])
         self._jitter_pos = int(z["counters"][1])
         self._state = SynthState(

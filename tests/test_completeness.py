@@ -96,11 +96,46 @@ def test_deutsch_language():
         ["SH", "U", "L", "EH"]
     assert [p.name for p in transcribe("zeit", de, leading_silence=False)] == \
         ["STOP", "T", "S", "AH", "GLIDE", "IH", "STOP", "T"]  # z=[ts], ei=[ai]
-    assert [p.name for p in transcribe("straße", de, leading_silence=False)] == \
-        ["SH", "STOP", "T", "R", "A", "S", "EH"]  # st onset, ß=[s]
+    # word-initial st takes [SH] via the space-prefixed rule; coda st is [s]
+    assert [p.name for p in transcribe("die straße", de, leading_silence=False)] == \
+        ["STOP", "D", "I", "SILENCE", "SH", "STOP", "T", "R", "A", "S", "EH"]
+    assert [p.name for p in transcribe("ist", de, leading_silence=False)] == \
+        ["IH", "S", "STOP", "T"]
+    assert [p.name for p in transcribe("nichts", de, leading_silence=False)] == \
+        ["N", "IH", "H", "STOP", "T", "S"]  # prefix-closure: final [ts]
     a = synthesize("guten morgen", voice="plain", language="deutsch",
                    contour=True)
     assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
+
+
+def test_rulesets_are_prefix_closed():
+    """The reference automaton has NO backtracking: when a longer rule's
+    candidacy breaks, it falls back only to a rule whose length equals the
+    consumed prefix (src/lib.rs:1152-1155) — otherwise the prefix is
+    swallowed into silence. Every proper prefix of every multi-char rule
+    must therefore itself be a rule. (generic is exempt: it reproduces the
+    reference's own 6-rule set verbatim, dead-ends included.)"""
+    for name in languages.language_names():
+        if name == "generic":
+            continue
+        lang = languages.get_language(name)
+        strings = {r.string for r in lang.rules}
+        for r in lang.rules:
+            for k in range(1, len(r.string)):
+                assert r.string[:k] in strings, (
+                    f"{name}: rule {r.string!r} lacks prefix rule "
+                    f"{r.string[:k]!r} — its candidacy break swallows input")
+
+
+def test_english_prefix_closure_words():
+    en = languages.get_language("english")
+    assert [p.name for p in transcribe("time", en, leading_silence=False)] == \
+        ["STOP", "T", "IH", "M", "EH"]
+    assert [p.name for p in transcribe("big", en, leading_silence=False)] == \
+        ["STOP", "B", "IH", "STOP", "G"]
+    es = languages.get_language("espanol")
+    assert [p.name for p in transcribe("guapo", es, leading_silence=False)] == \
+        ["STOP", "G", "U", "A", "STOP", "P", "O"]
 
 
 def test_voice_variants_differ():

@@ -201,3 +201,31 @@ def test_pool_read_blocks_readahead_matches_single_ticks():
     np.testing.assert_allclose(ahead, single, atol=5e-4)
     from grail_tpu.utils import sample_error_db
     assert sample_error_db(ahead.ravel(), single.ravel()) < -60
+
+
+def test_idle_then_feed_starts_promptly():
+    """Regression: bulk idle-silence horizon appends must NOT delay text
+    fed afterwards — the un-started pre-scheduled silence is trimmed on
+    feed (keeping one element for blend continuity), so the new utterance
+    begins within ~1 s of the current read position, not after seconds of
+    pre-scheduled dead air."""
+    s = StreamSession(voice="plain", language="english", block=1024)
+    s.feed("hi ")
+    s.flush()
+    # drain into the idle regime and stop at a HIGH-coverage moment (right
+    # after a bulk silence append), the worst case for feed latency
+    for _ in range(400):
+        s.read()
+        if (s._horizon_tail >= 4 and
+                int(s._end_samples()[-1]) - s._consumed_samples
+                > 1.5 * s.sample_rate):
+            break
+    else:
+        raise AssertionError("never reached the bulk-silence idle regime")
+    s.feed("go ")
+    s.flush()
+    audio = np.concatenate([s.read() for _ in range(50)])
+    nz = np.nonzero(np.abs(audio) > 1e-4)[0]
+    assert len(nz) > 0, "second utterance never rendered"
+    start_s = nz[0] / s.sample_rate
+    assert start_s < 1.0, f"speech started {start_s:.2f}s late"
