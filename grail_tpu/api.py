@@ -478,9 +478,15 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     # span >= CHUNK_F samples; pathological scores fall back to the
     # streaming-kernel path (identical semantics, XLA-side expansion)
     if backend.startswith("fused"):
+        from types import SimpleNamespace
+
         from .synth.kernel_fused import fused_supported
 
-        if not fused_supported(stack_scores(scores), sr):
+        # fused_supported reads only .length — avoid a second full
+        # stack_scores of all 8 fields on the hot batch path
+        lengths_only = SimpleNamespace(
+            length=np.stack([np.asarray(s.length) for s in scores]))
+        if not fused_supported(lengths_only, sr):
             backend = ("pallas_interpret" if backend.endswith("interpret")
                        else "pallas")
 

@@ -51,8 +51,15 @@ def language_to_dict(lang: Language) -> dict:
 
 
 def load_language_file(path: str) -> Language:
+    """Structural problems surface as ValueError (CLI clean-error contract)."""
     with open(path) as fh:
-        return language_from_dict(json.load(fh))
+        doc = json.load(fh)
+    try:
+        return language_from_dict(doc)
+    except ValueError:
+        raise
+    except Exception as e:  # TypeError/AttributeError/KeyError from shape
+        raise ValueError(f"malformed language file {path!r}: {e}") from e
 
 
 def save_language_file(path: str, lang: Language) -> None:

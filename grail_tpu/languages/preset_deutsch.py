@@ -44,7 +44,12 @@ _RULES = [
     # the coda rule; mid-sentence onsets are the common case and win.
     (" sp", [S, P.SH, STOP, P.P]),
     (" st", [S, P.SH, STOP, P.T]),
-    (" s", [S, P.Z]),     # prefix closure for the two rules above
+    # prefix closure for the space-prefixed family: without " sc"/" sch",
+    # the " s" fallback would consume the 's' of every mid-sentence
+    # "sch..." word and the trigraph would never match
+    (" s", [S, P.Z]),
+    (" sc", [S, P.Z, STOP, P.K]),
+    (" sch", [S, P.SH]),
     ("sp", [P.S, STOP, P.P]),
     ("st", [P.S, STOP, P.T]),
     ("ss", [P.S]),

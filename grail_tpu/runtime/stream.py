@@ -287,6 +287,10 @@ class StreamSession:
             self.voice = new
         else:
             raise ValueError(f"unknown stream command {kind!r}")
+        # voice/prosody changes must invalidate the pool's upload cache even
+        # with no pending text: the cache key's id(voice) component alone is
+        # unsafe (a garbage-collected Voice's id can be reused)
+        self._rev += 1
 
     def flush(self) -> None:
         """Force-transcribe any held-back characters."""
@@ -404,6 +408,12 @@ class StreamSession:
         Synthesis advances in whole blocks; samples beyond the requested
         count are kept in a residual buffer and served by the next read, so
         arbitrary read sizes are gap-free."""
+        if self._pool_ref is not None:
+            raise RuntimeError(
+                "session is owned by a StreamPool: read audio via "
+                "pool.read_block() — a solo read would advance only this "
+                "session's host state and desynchronize it from the pool's "
+                "device-resident batch state")
         n = int(num_samples or self.block)
         out = np.empty(n, np.float32)
         done = 0
@@ -512,6 +522,15 @@ class StreamSession:
         self._pending_chars = list(bytes(z["pending"]).decode())
         self._residual = np.asarray(z["residual"], np.float32) if "residual" in z \
             else np.empty(0, np.float32)
+        if self._pool_ref is not None:
+            # pool-owned: the pool reads DSP state from its stacked device
+            # pytree, so the restored slice must be scattered back (and the
+            # cached device offsets rebuilt from the restored counters)
+            pool, idx = self._pool_ref
+            pool._states = SynthState(*(
+                jnp.asarray(arr).at[idx].set(jnp.asarray(v))
+                for arr, v in zip(pool._states, self._state)))
+            pool._cache_key = None
 
     @property
     def pending_seconds(self) -> float:

@@ -119,8 +119,6 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     """
     sr = jnp.float32(sample_rate)
     jf, jdf, jdff, jda = jparams
-    B, E = np.shape(score.length)[:2] if hasattr(score.length, "shape") else (
-        score.length.shape[0], score.length.shape[1])
     B = score.length.shape[0]
 
     C = jnp.cumsum(jnp.asarray(score.length, jnp.float32), axis=-1)   # [B, E]

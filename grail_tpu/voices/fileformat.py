@@ -46,6 +46,8 @@ def spec_from_dict(doc: dict) -> VoiceSpec:
             raise ValueError(f"phoneme {name!r}: missing fields {missing}")
         phonemes[name] = PhonemeSpec(**{f: tuple(float(x) for x in tabs[f])
                                         for f in _FIELDS})
+    if not phonemes:
+        raise ValueError("voice file defines no phonemes")
     return VoiceSpec(
         name=str(doc.get("name", "file-voice")),
         phonemes=phonemes,
@@ -78,10 +80,18 @@ def spec_to_dict(spec: VoiceSpec) -> dict:
 
 
 def load_voice_file(path: str) -> Voice:
-    """Load + compile a JSON voice file."""
+    """Load + compile a JSON voice file.
+
+    Any structural problem (wrong types, missing tables, empty document)
+    surfaces as ValueError so the CLI's clean-error contract holds."""
     with open(path) as fh:
         doc = json.load(fh)
-    return compile_voice(spec_from_dict(doc))
+    try:
+        return compile_voice(spec_from_dict(doc))
+    except ValueError:
+        raise
+    except Exception as e:  # TypeError/AttributeError/KeyError from shape
+        raise ValueError(f"malformed voice file {path!r}: {e}") from e
 
 
 def save_voice_file(path: str, spec: Union[VoiceSpec, dict]) -> None:

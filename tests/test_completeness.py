@@ -103,6 +103,11 @@ def test_deutsch_language():
         ["IH", "S", "STOP", "T"]
     assert [p.name for p in transcribe("nichts", de, leading_silence=False)] == \
         ["N", "IH", "H", "STOP", "T", "S"]  # prefix-closure: final [ts]
+    # the " s" fallback must not shadow the space-prefixed sch/sp/st rules
+    assert [p.name for p in transcribe("die schule", de, leading_silence=False)] == \
+        ["STOP", "D", "I", "SILENCE", "SH", "U", "L", "EH"]
+    assert [p.name for p in transcribe("die sonne", de, leading_silence=False)][:5] == \
+        ["STOP", "D", "I", "SILENCE", "Z"]
     a = synthesize("guten morgen", voice="plain", language="deutsch",
                    contour=True)
     assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0

@@ -65,10 +65,19 @@ def test_cli_accepts_voice_file(tmp_path, capsys):
     out = str(tmp_path / "o.wav")
     assert main(["-s", "-v", vpath, "-o", out, "ae"]) == 0
     assert (tmp_path / "o.wav").exists()
-    # malformed file -> clean error, exit 1
+    # malformed files -> clean error, exit 1 (empty document, not-JSON,
+    # structurally wrong types must all avoid tracebacks)
     bad = str(tmp_path / "bad.json")
     with open(bad, "w") as fh:
         fh.write("{}")
+    assert main(["-s", "-v", bad, "ae"]) == 1  # no phonemes defined
     with open(bad + "2", "w") as fh:
         fh.write("not json")
     assert main(["-s", "-v", bad + "2", "ae"]) == 1
+    with open(bad + "3", "w") as fh:
+        fh.write('{"phonemes": {"A": {"freq": 1.0}}}')  # scalar table
+    assert main(["-s", "-v", bad + "3", "ae"]) == 1
+    badl = str(tmp_path / "badl.json")
+    with open(badl, "w") as fh:
+        fh.write('{"intonation": {"bogus_key": 1}}')
+    assert main(["-s", "-l", badl, "ae"]) == 1

@@ -229,3 +229,32 @@ def test_idle_then_feed_starts_promptly():
     assert len(nz) > 0, "second utterance never rendered"
     start_s = nz[0] / s.sample_rate
     assert start_s < 1.0, f"speech started {start_s:.2f}s late"
+
+
+def test_pool_session_checkpoint_restore_roundtrip():
+    """A pool-owned session's load_state must scatter the restored DSP
+    state back into the pool's stacked device pytree: the next pool tick
+    re-renders the post-checkpoint audio (compared against an independent
+    solo session restored from the same blob). Solo read() on a pool-owned
+    session is a RuntimeError (it would desynchronize the batch state)."""
+    from grail_tpu.runtime.stream import StreamPool
+    from grail_tpu.utils import sample_error_db
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="fused_interpret")
+    pool.feed(0, "hello world ")
+    pool.flush(0)
+    pool.feed(1, "aeio ")
+    pool.flush(1)
+    _ = pool.read_block()
+    with pytest.raises(RuntimeError):
+        pool.sessions[0].read()
+    blob = pool.sessions[0].save_state()
+    _ = pool.read_block()              # advance past the checkpoint
+    pool.sessions[0].load_state(blob)  # rewind session 0
+    after = pool.read_block()[0]
+
+    solo = StreamSession(voice="plain", language="english", block=1024)
+    solo.load_state(blob)
+    ref = solo.read()
+    assert sample_error_db(after, ref) < -60
