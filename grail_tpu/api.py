@@ -79,7 +79,15 @@ def text_to_score(text: str, voice="generic", language="generic",
 
 def _score_num_samples(score: Score, sample_rate: float) -> int:
     """Replicates the device boundary math (f32 cumsum + floor) on host.
-    Single-utterance scores only ([E] leading dim)."""
+    Single-utterance scores only ([E] leading dim).
+
+    Caveat: XLA may in principle reassociate its cumsum differently from
+    numpy's sequential one, which could flip floor() by one sample when the
+    f32 cumulative length lands within 1 ulp of a boundary. No divergence
+    has been observed on current backends (the on-TPU golden/fidelity
+    suites would catch an off-by-one as a gate failure); if one ever
+    appears, pass host-computed cumulative lengths into the device paths
+    instead of recomputing there."""
     lengths = np.asarray(score.length, np.float32)
     assert lengths.ndim == 1, "pass per-utterance scores, not a batch"
     C = np.cumsum(lengths)
@@ -198,6 +206,40 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
 WARMUP = 4096  # overlap-save pre-roll (stable-IIR forget time << this)
 
 
+def _split_lane_setup(scores, lattices, jdf, jdff, jda, T: int, S: int,
+                      B: int):
+    """Shared overlap-save lane setup for BOTH split backends (pallas and
+    fused): segment sample offsets, exact Lehmer seed continuation
+    (closed-form skip-ahead; negative skip for the s=0 pre-roll so it lands
+    exactly on state 0 at the first real sample), and s-major lane tiling
+    of scores/lattices/per-lane jitter deltas. One implementation so the
+    two paths can never desynchronize on the continuation math."""
+    from .core.constants import LEHMER_A
+    from .core.rng import lehmer_affine
+
+    Ts = T // S
+    W = WARMUP
+    per_b = jnp.ndim(jdf) > 0
+    seg_ids = jnp.arange(S)
+    g0 = seg_ids * Ts - W                                    # [S]
+    powA, Sv = lehmer_affine(T)
+    seed_pos = jnp.asarray(Sv, jnp.uint32)[jnp.maximum(g0, 0)]
+    a_inv_w = pow(LEHMER_A, -W, 1 << 32)
+    s_w = int(Sv[W])
+    seed_neg = jnp.uint32((-(a_inv_w * s_w)) & 0xFFFFFFFF)
+    seed0 = jnp.where(seg_ids == 0, seed_neg, seed_pos)      # [S]
+    seed0 = jnp.broadcast_to(seed0[:, None], (S, B)).reshape(S * B)
+
+    def tile(x):
+        return jnp.concatenate([x] * S, axis=0)
+
+    scores_t = jax.tree.map(tile, scores)
+    lattices_t = jax.tree.map(tile, lattices)
+    jp_t = tuple(tile(x) if per_b else x for x in (jdf, jdff, jda))
+    g0_lane = jnp.repeat(g0, B)                              # [S*B]
+    return g0, seed0, scores_t, lattices_t, jp_t, g0_lane, per_b
+
+
 @functools.partial(jax.jit, static_argnames=("T", "S"))
 def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rate,
                      T: int, S: int):
@@ -213,8 +255,6 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     segment's pre-roll, whose forcing is silent by construction).
     Requires T % (S * BLOCK_SIZE) == 0.
     """
-    from .core.constants import LEHMER_A
-    from .core.rng import lehmer_affine
     from .synth.kernel import synth_core_pallas
     from .synth.sequencer import expand_frequency
     from .synth.synthesize import SynthState
@@ -226,7 +266,8 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     Text = Ts + W
     blk = BLOCK_SIZE
     nb_pre = T // blk
-    per_b = jnp.ndim(jdf) > 0
+    (g0, seed0, scores_t, lattices_t, (jdf_t, jdff_t, jda_t), g0_lane,
+     per_b) = _split_lane_setup(scores, lattices, jdf, jdff, jda, T, S, B)
     d_axes = 0 if per_b else None
 
     # ---- pre-pass: Q32 phase at block boundaries (exact integral of the
@@ -254,29 +295,9 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     # are block-aligned (Ts and W are BLOCK_SIZE multiples)
     inv = jnp.float32(1.0 / 4294967296.0)
 
-    seg_ids = jnp.arange(S)
-    g0 = seg_ids * Ts - W                                    # [S]
     phase_seg = q_at_block[jnp.maximum(g0, 0) // blk].astype(jnp.float32) * inv
-    phase0 = jnp.where((seg_ids == 0)[:, None], 0.0, phase_seg).reshape(S * B)
-
-    # Lehmer seed at g0 (closed form); s=0 uses the negative-skip seed so the
-    # pre-roll lands exactly on state 0 at the first real sample
-    powA, Sv = lehmer_affine(T)
-    seed_pos = jnp.asarray(Sv, jnp.uint32)[jnp.maximum(g0, 0)]          # [S]
-    a_inv_w = pow(LEHMER_A, -W, 1 << 32)
-    s_w = int(Sv[W])
-    seed_neg = jnp.uint32((-(a_inv_w * s_w)) & 0xFFFFFFFF)
-    seed0 = jnp.where(seg_ids == 0, seed_neg, seed_pos)                  # [S]
-    seed0 = jnp.broadcast_to(seed0[:, None], (S, B)).reshape(S * B)
-
-    # ---- tile utterances across segments (s-major lanes)
-    def tile(x):
-        return jnp.concatenate([x] * S, axis=0)
-
-    scores_t = jax.tree.map(tile, scores)
-    lattices_t = jax.tree.map(tile, lattices)
-    jdf_t, jdff_t, jda_t = (tile(x) if per_b else x for x in (jdf, jdff, jda))
-    g0_lane = jnp.repeat(g0, B)                                          # [S*B]
+    phase0 = jnp.where((jnp.arange(S) == 0)[:, None], 0.0,
+                       phase_seg).reshape(S * B)
 
     state0 = SynthState(
         phase=phase0,
@@ -324,8 +345,6 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     in-VMEM expansion (expand_frequency + masked pitch jitter replicate
     kernel phases A-C for the scalar frequency field).
     """
-    from .core.constants import LEHMER_A
-    from .core.rng import lehmer_affine
     from .synth.kernel_fused import (build_tables, phase_q31_pre_block,
                                      synth_fused_pallas)
     from .synth.synthesize import SynthState
@@ -336,7 +355,8 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     W = WARMUP
     Text = Ts + W
     blk = BLOCK_SIZE
-    per_b = jnp.ndim(jdf) > 0
+    (g0, seed0, scores_t, lattices_t, (jdf_t, jdff_t, jda_t), g0_lane,
+     per_b) = _split_lane_setup(scores, lattices, jdf, jdff, jda, T, S, B)
 
     # ---- pre-pass: Q31 phase at block boundaries (exact integral of the
     # same frequency stream the fused kernel will synthesize)
@@ -344,31 +364,10 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
                                      sample_rate, T, blk,
                                      interpret=interpret)       # [nb, B]
 
-    seg_ids = jnp.arange(S)
-    g0 = seg_ids * Ts - W                                     # [S]
     q_seg = q_at_block[jnp.maximum(g0, 0) // blk]             # [S, B] uint32
-    q_seg = jnp.where((seg_ids == 0)[:, None], jnp.uint32(0), q_seg)
+    q_seg = jnp.where((jnp.arange(S) == 0)[:, None], jnp.uint32(0), q_seg)
     phase_q31 = (q_seg & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     phase_q31 = phase_q31.reshape(S * B)
-
-    # Lehmer seed at g0 (closed form); s=0 uses the negative-skip seed so the
-    # pre-roll lands exactly on state 0 at the first real sample
-    powA, Sv = lehmer_affine(T)
-    seed_pos = jnp.asarray(Sv, jnp.uint32)[jnp.maximum(g0, 0)]          # [S]
-    a_inv_w = pow(LEHMER_A, -W, 1 << 32)
-    s_w = int(Sv[W])
-    seed_neg = jnp.uint32((-(a_inv_w * s_w)) & 0xFFFFFFFF)
-    seed0 = jnp.where(seg_ids == 0, seed_neg, seed_pos)                  # [S]
-    seed0 = jnp.broadcast_to(seed0[:, None], (S, B)).reshape(S * B)
-
-    # ---- tile utterances across segments (s-major lanes)
-    def tile(x):
-        return jnp.concatenate([x] * S, axis=0)
-
-    scores_t = jax.tree.map(tile, scores)
-    lattices_t = jax.tree.map(tile, lattices)
-    jdf_t, jdff_t, jda_t = (tile(x) if per_b else x for x in (jdf, jdff, jda))
-    g0_lane = jnp.repeat(g0, B)                                          # [S*B]
 
     state0 = SynthState(
         phase=jnp.zeros((S * B,), jnp.float32),  # overridden by phase_q31
@@ -390,11 +389,19 @@ def synthesize_score(score: Score, voice, seed: int = 0,
                      sample_rate: Optional[float] = None,
                      use_scan: bool = False,
                      pad_samples_to: Optional[int] = None) -> np.ndarray:
-    """Synthesize one prepared Score to a float32 waveform."""
+    """Synthesize one prepared Score to a float32 waveform.
+
+    `pad_samples_to` pins the jit shape (e.g. to share one compile across
+    many scores); it must cover the utterance and is rounded up to a block
+    multiple (_synth_jit truncates non-multiples, silently losing samples).
+    """
     v = _resolve_voice(voice)
     sr = float(sample_rate or v.sample_rate)
     N = _score_num_samples(score, sr)
-    T = pad_samples_to or _round_up(max(N, 1), 4096)
+    if pad_samples_to is not None and pad_samples_to < N:
+        raise ValueError(
+            f"pad_samples_to={pad_samples_to} < utterance length {N}")
+    T = _round_up(max(pad_samples_to or N, 1), 4096)
     lattice = build_lattice(seed, T, v.jitter_frequency)
     jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
                jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
@@ -423,7 +430,12 @@ def default_backend() -> str:
     import jax
 
     try:
-        return "fused" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+        # only actual TPU backends can run the Mosaic kernels; any other
+        # accelerator plugin (gpu, metal, ...) takes the XLA path. The axon
+        # remote-TPU plugin reports its own platform name, hence the
+        # substring check.
+        plat = jax.default_backend().lower()
+        return "fused" if ("tpu" in plat or plat == "axon") else "xla"
     except Exception:
         return "xla"
 
@@ -441,8 +453,9 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     formant tables, so mixed voices run in the same device program. All
     voices must share sample rate and jitter rate (per-voice jitter deltas
     are vectorized). All utterances pad to shared (E, T); outputs are
-    sliced back to their true lengths. backend: 'pallas' | 'xla' | 'scan' |
-    'pallas_interpret' (None = auto: pallas on TPU, xla otherwise).
+    sliced back to their true lengths. backend: 'fused' | 'pallas' | 'xla'
+    | 'scan' | 'fused_interpret' | 'pallas_interpret' (None = auto: the
+    fully-fused kernel on TPU, xla otherwise).
     """
     B = len(texts)
     if isinstance(voice, (list, tuple)):
@@ -456,21 +469,28 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     assert all(abs(v.jitter_frequency - v0.jitter_frequency) < 1e-9 for v in voices), \
         "batched voices must share a jitter rate"
     if sample_rate and float(sample_rate) != float(v0.sample_rate):
-        # retarget voices like synthesize() does (reference resample semantics)
-        voices = [v.resampled(float(sample_rate)) for v in voices]
+        # retarget voices like synthesize() does (reference resample
+        # semantics). Resample each DISTINCT object once — per-element
+        # resampling would turn a single-voice batch into B distinct
+        # objects and push it onto the per-lane jparams path for nothing.
+        resampled = {}
+        for v in voices:
+            if id(v) not in resampled:
+                resampled[id(v)] = v.resampled(float(sample_rate))
+        voices = [resampled[id(v)] for v in voices]
         v0 = voices[0]
     sr = float(v0.sample_rate)
     seeds = list(seeds) if seeds is not None else [0] * B
     if backend is None:
         backend = "scan" if use_scan else default_backend()
 
+    from .synth.score import pad_score
+
     scores_raw = [text_to_score(t, v, language, contour=contour,
                                 speaking_rate=speaking_rate)
                   for t, v in zip(texts, voices)]
     E = max(s.num_elems for s in scores_raw)
-    scores = [s if s.num_elems == E else text_to_score(
-        t, v, language, contour=contour, speaking_rate=speaking_rate, pad_to=E)
-        for s, t, v in zip(scores_raw, texts, voices)]
+    scores = [pad_score(s, E) for s in scores_raw]
     Ns = [_score_num_samples(s, sr) for s in scores]
     T = _round_up(max(max(Ns), 1), 4096)
 

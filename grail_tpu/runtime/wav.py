@@ -14,8 +14,11 @@ import numpy as np
 
 def encode_wav(data: np.ndarray, sample_rate: int) -> bytes:
     data = np.asarray(data, np.float32)
-    # Rust `(x * i16::MAX as f32) as i16`: truncate toward zero, saturate
+    # Rust `(x * i16::MAX as f32) as i16`: truncate toward zero, saturate,
+    # NaN -> 0 (float->int casts in numpy are undefined for NaN; Rust's
+    # `as` is defined to give 0 — match it here and in the native encoder)
     scaled = np.trunc(data * 32767.0)
+    scaled = np.where(np.isnan(scaled), 0.0, scaled)
     pcm = np.clip(scaled, -32768, 32767).astype(np.int16)
     payload = pcm.tobytes()
     header = b"".join([

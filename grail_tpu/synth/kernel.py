@@ -142,6 +142,8 @@ def synth_core_pallas(elems: SynthesisElem, state: SynthState,
     if interpret:  # interpreter mode has no lane-width constraint (CPU tests)
         lane = B
         chunk = min(chunk, T)
+        if T % chunk != 0:   # odd short streams: run one grid step
+            chunk = T
     assert T % chunk == 0, (T, chunk)
     assert B % lane == 0, (B, lane)
     nbt = B // lane

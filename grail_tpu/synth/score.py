@@ -114,6 +114,34 @@ def score_from_phoneme_elems(
     )
 
 
+def pad_score(score: Score, pad_to: int) -> Score:
+    """Append zero-length padding rows to an existing single-utterance
+    Score — bit-identical to building with score_from_phoneme_elems(
+    pad_to=...), without re-running the text frontend (the batch path
+    previously re-transcribed + re-intonated every non-longest utterance
+    just to add padding rows)."""
+    E = score.num_elems
+    k = int(pad_to) - E
+    if k <= 0:
+        return score
+    padq = np.full((k, NUM_FORMANTS), 0.25, np.float32)
+    padz = np.zeros((k, NUM_FORMANTS), np.float32)
+    pad_elem = SynthesisElem(np.zeros(k, np.float32),
+                             padq, padq, padq, padz, padz, padz)
+    elem = SynthesisElem(*(np.concatenate([np.asarray(g), p], axis=0)
+                           for g, p in zip(score.elem, pad_elem)))
+    return Score(
+        elem=elem,
+        has_sound=np.concatenate(
+            [np.asarray(score.has_sound), np.zeros(k, bool)]),
+        length=np.concatenate(
+            [np.asarray(score.length, np.float32), np.zeros(k, np.float32)]),
+        blend_length=np.concatenate(
+            [np.asarray(score.blend_length, np.float32),
+             np.full(k, 1.0, np.float32)]),
+    )
+
+
 def stack_scores(scores: Sequence[Score]) -> Score:
     """Stack single-utterance scores (same E) into a batched [B, E] score."""
     elems = SynthesisElem(*(np.stack([np.asarray(f) for f in fs])
@@ -126,4 +154,4 @@ def stack_scores(scores: Sequence[Score]) -> Score:
     )
 
 
-__all__ = ["Score", "score_from_phoneme_elems", "stack_scores"]
+__all__ = ["Score", "score_from_phoneme_elems", "pad_score", "stack_scores"]

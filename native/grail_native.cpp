@@ -155,7 +155,9 @@ int64_t gn_encode_wav(const float* data, int64_t n, int32_t sample_rate,
     put_u32(40, payload);
     for (int64_t i = 0; i < n; ++i) {
         float v = data[i] * 32767.0f;
-        // Rust `as i16`: truncate toward zero, saturate
+        // Rust `as i16`: truncate toward zero, saturate, NaN -> 0
+        // (the C float->int cast is UB for NaN; Rust defines it as 0)
+        if (v != v) v = 0.0f;
         if (v > 32767.0f) v = 32767.0f;
         if (v < -32768.0f) v = -32768.0f;
         int16_t s = static_cast<int16_t>(v);

@@ -101,3 +101,25 @@ def test_contour_intonator_runs():
     assert len(a) > 0 and np.isfinite(a).all()
     b = synthesize("aeae", contour=True, speaking_rate=2.0)
     assert len(b) < len(a)  # faster speech is shorter
+
+
+def test_pad_score_matches_frontend_padding():
+    # pad_score(text_to_score(t), E) must be bit-identical to rebuilding
+    # with text_to_score(t, pad_to=E) (the batch path uses the former to
+    # avoid re-running the frontend per utterance)
+    from grail_tpu.api import text_to_score
+    from grail_tpu.synth.score import pad_score
+
+    for t in ("ae", "aeae"):
+        base = text_to_score(t)
+        E = base.num_elems + 3
+        a = pad_score(base, E)
+        b = text_to_score(t, pad_to=E)
+        for fa, fb in zip(a.elem, b.elem):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        np.testing.assert_array_equal(np.asarray(a.has_sound),
+                                      np.asarray(b.has_sound))
+        np.testing.assert_array_equal(np.asarray(a.length),
+                                      np.asarray(b.length))
+        np.testing.assert_array_equal(np.asarray(a.blend_length),
+                                      np.asarray(b.blend_length))

@@ -258,3 +258,18 @@ def test_pool_session_checkpoint_restore_roundtrip():
     solo.load_state(blob)
     ref = solo.read()
     assert sample_error_db(after, ref) < -60
+
+
+def test_wav_encoders_agree_on_nonfinite():
+    """Python and native WAV encoders must produce identical bytes for
+    NaN/inf samples, matching Rust `as i16` semantics (NaN -> 0,
+    saturating) — numpy's float->int cast is otherwise undefined."""
+    from grail_tpu.runtime.native import native_encode_wav
+    from grail_tpu.runtime.wav import encode_wav
+
+    x = np.array([0.5, np.nan, -0.25, np.inf, -np.inf, 2.0], np.float32)
+    py = np.frombuffer(encode_wav(x, 44100)[44:], np.int16)
+    assert py.tolist() == [16383, 0, -8191, 32767, -32768, 32767]
+    nat = native_encode_wav(x, 44100)
+    if nat is not None:   # native lib may be absent (pure-python install)
+        assert np.frombuffer(bytes(nat)[44:], np.int16).tolist() == py.tolist()
