@@ -167,13 +167,22 @@ class NpVoice:
     @staticmethod
     def from_spec(spec: VoiceSpec) -> "NpVoice":
         sr = F32(spec.sample_rate)
+
+        def build(ph):
+            e = NpElem.new_phoneme(ph.freq, ph.bw, ph.smooth, ph.turb,
+                                   ph.breath, ph.amp)
+            if float(spec.sample_rate) != 44100.0:
+                # mirror compile_voice: new_phoneme normalizes to the
+                # DEFAULT rate; non-default voices retarget their tables
+                # (without this, a 22050 Hz voice's oracle would render
+                # every formant at half frequency)
+                e = e.resample(F32(44100.0), sr)
+            return e
+
         return NpVoice(
             sample_rate=sr,
-            phonemes={
-                Phoneme[name]: NpElem.new_phoneme(
-                    ph.freq, ph.bw, ph.smooth, ph.turb, ph.breath, ph.amp)
-                for name, ph in spec.phonemes.items()
-            },
+            phonemes={Phoneme[name]: build(ph)
+                      for name, ph in spec.phonemes.items()},
             center_frequency=F32(F32(spec.center_frequency_hz) / sr),
             jitter_frequency=F32(F32(spec.jitter_frequency_hz) / sr),
             jitter_delta_frequency=F32(F32(spec.jitter_delta_frequency_hz) / sr),

@@ -50,7 +50,9 @@ def _load():
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                     ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
                 _lib = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError: a stale .so missing a symbol — degrade to
+                # the pure-Python implementations rather than crash
                 _lib = None
             break
     return _lib
@@ -81,6 +83,14 @@ class NativeRuleset:
         self._strings_keepalive = strings
         self._handle = lib.gn_ruleset_new(strings, flat_arr, off_arr, len(rules))
         self.case_sensitive = language.case_sensitive
+        # worst-case phonemes emitted per consumed input char: garbage chars
+        # emit 1 (SILENCE); a matched rule emits len(phonemes) for
+        # len(string) chars. Sizes the output buffer exactly — the fixed
+        # 4x heuristic silently truncated for rules denser than 4 phonemes
+        # per char (possible via language files).
+        self._max_ratio = max(
+            [1] + [-(-len(r.phonemes) // max(len(r.string), 1))
+                   for r in rules])
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -89,7 +99,7 @@ class NativeRuleset:
 
     def transcribe(self, text: str) -> List[Phoneme]:
         data = text.encode()
-        cap = 4 * max(len(data), 1) + 16
+        cap = self._max_ratio * max(len(data), 1) + 16
         out = (ctypes.c_int32 * cap)()
         n = self._lib.gn_transcribe(self._handle, data, len(data),
                                     1 if self.case_sensitive else 0, out, cap)

@@ -85,7 +85,10 @@ def intonate(
     """
     cf = float(voice.center_frequency)
     if not contour:
-        return [PhonemeElem(p, 0.5, 0.5, cf) for p in phonemes]
+        # stub parity at speaking_rate=1.0 (0.5/1.0 == 0.5 exactly); the
+        # rate knob still works in stub mode by scaling the fixed lengths
+        d = 0.5 / max(speaking_rate, 1e-3)
+        return [PhonemeElem(p, d, d, cf) for p in phonemes]
 
     from .language import IntonationRules
 
@@ -94,23 +97,29 @@ def intonate(
     boundary = r.question_rise if clause == "question" else r.statement_fall
 
     elems: List[PhonemeElem] = []
-    n = len(phonemes)
     n_sound = max(1, sum(1 for p in phonemes if is_sound(p)))
     sound_i = 0
-    for i, p in enumerate(phonemes):
+    vowel_i = 0
+    for p in phonemes:
         dur = _duration(p) / max(speaking_rate, 1e-3)
-        is_last_window = i >= n - r.final_window
         if is_sound(p):
             # declination: F0 falls across the clause
             pos = sound_i / n_sound
             f = cf * gain * (r.onset_boost - (r.onset_boost - 1.0
                                               + r.declination) * pos)
-            # periodic accent on early vowels
-            if (p.name in _VOWELS and r.accent_period > 0
-                    and sound_i % r.accent_period == 0 and pos < 0.8):
-                f *= r.accent_gain
-            # clause-final boundary tone + lengthening
-            if is_last_window:
+            # periodic accent on early vowels — counted over VOWELS (a raw
+            # sound counter made stress an artifact of consonant parity:
+            # CV-alternating words would never accent at period 2)
+            if p.name in _VOWELS:
+                if (r.accent_period > 0
+                        and vowel_i % r.accent_period == 0 and pos < 0.8):
+                    f *= r.accent_gain
+                vowel_i += 1
+            # clause-final boundary tone + lengthening over the last k
+            # SOUNDS (a raw index window could cover only trailing STOP
+            # markers/consonants, leaving the final vowel without the
+            # question rise)
+            if n_sound - sound_i <= r.final_window:
                 f *= boundary
                 dur *= r.final_lengthen
             sound_i += 1

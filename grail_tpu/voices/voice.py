@@ -22,7 +22,8 @@ import numpy as np
 
 from ..core.constants import DEFAULT_SAMPLE_RATE, NUM_FORMANTS
 from ..synth.elem import SynthesisElem
-from ..text.phonemes import NUM_SOUND_PHONEMES, Phoneme, sound_index
+from ..text.phonemes import (NUM_SOUND_PHONEMES, Phoneme, is_sound,
+                             sound_index)
 
 
 @dataclass(frozen=True)
@@ -83,7 +84,7 @@ class Voice:
         """VoiceStorage::get (src/lib.rs:664-671): None for specials or
         undefined phonemes, else the phoneme's SynthesisElem."""
         p = int(phoneme)
-        if p < 3 or not bool(self.defined[sound_index(p)]):
+        if not is_sound(p) or not bool(self.defined[sound_index(p)]):
             return None
         return self.table[sound_index(p)]
 
@@ -101,7 +102,11 @@ class Voice:
                 f"({MAX_JITTER_INC * new_sample_rate:.0f} Hz)")
         return Voice(
             sample_rate=new_sample_rate,
-            table=self.table.resample(self.sample_rate, new_sample_rate),
+            # numpy mirror, not SynthesisElem.resample: this runs on the
+            # host request path and eager jnp ops on a tiny table would
+            # pay device dispatch + convert the numpy leaves to jnp
+            table=_np_resample(self.table, self.sample_rate,
+                               new_sample_rate),
             defined=self.defined,
             center_frequency=min(self.center_frequency * r, 0.5),
             jitter_frequency=self.jitter_frequency * r,
@@ -134,7 +139,13 @@ def _np_resample(e: SynthesisElem, old_sr: float, new_sr: float) -> SynthesisEle
 def _np_new_phoneme(freq, bw, smooth, turb, breath, amp) -> SynthesisElem:
     """Numpy mirror of SynthesisElem.new_phoneme (src/lib.rs:381-401)."""
     amp = np.asarray(amp, np.float32)
-    amp = (amp / amp.sum(axis=-1, keepdims=True, dtype=np.float32)).astype(np.float32)
+    # Rust's iter().sum() is a SEQUENTIAL left fold in f32; numpy's
+    # pairwise sum rounds differently in ~40% of 8-element rows (1 ulp),
+    # which would break bit-parity with the oracle's tables
+    total = amp[..., 0]
+    for j in range(1, amp.shape[-1]):
+        total = (total + amp[..., j]).astype(np.float32)
+    amp = (amp / total[..., None]).astype(np.float32)
     e = SynthesisElem(
         frequency=np.zeros(amp.shape[:-1], np.float32),
         formant_freq=np.asarray(freq, np.float32),

@@ -109,6 +109,15 @@ int32_t gn_transcribe(void* handle, const char* text, int32_t text_len,
             } else if (new_min >= new_max) {
                 buffer = &kSilence;                           // dead end
                 ++pos;                                        // consume garbage
+                // the automaton walks BYTES; the reference walks chars. An
+                // unmatched multi-byte UTF-8 char must emit ONE silence,
+                // not one per byte: skip its continuation bytes. (When a
+                // partial rule match already consumed part of the char,
+                // pos sits mid-sequence and the skip is a no-op beyond the
+                // current char — matching the Python/Rust char automaton.)
+                while (pos < text_len &&
+                       (static_cast<unsigned char>(text[pos]) & 0xC0) == 0x80)
+                    ++pos;
             } else {
                 search_min = new_min;
                 search_max = new_max;

@@ -105,3 +105,20 @@ def test_zero_blend_length_holds_parameters():
     np.testing.assert_allclose(ff[10], a_row, atol=1e-6)
     np.testing.assert_allclose(ff[n1 - 10], a_row, atol=1e-6)
     np.testing.assert_allclose(ff[n1 + 10], e_row, atol=1e-6)
+
+
+def test_native_python_transcriber_utf8_parity():
+    """The native automaton walks BYTES; an unmatched multi-byte UTF-8
+    char must still emit ONE silence like the char-walking Python/Rust
+    automaton (continuation bytes are skipped in the garbage path)."""
+    from grail_tpu.runtime import native
+    from grail_tpu.text.transcribe import transcribe_chars
+
+    if not native.available():
+        pytest.skip("native library not built")
+    for lname in ("deutsch", "espanol", "english", "generic"):
+        lang = languages.get_language(lname)
+        rs = native.NativeRuleset(lang)
+        for text in ("straße grün", "¿qué chica?", "日本語 🎵 ñ", "¿¡aä!?"):
+            assert rs.transcribe(text) == list(transcribe_chars(text, lang)), \
+                (lname, text)
