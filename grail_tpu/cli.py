@@ -102,10 +102,20 @@ def main(argv=None) -> int:
     else:
         to_say = args[-1]
 
-    sample_rate = float(resample) if resample else DEFAULT_SAMPLE_RATE
+    if resample:
+        try:
+            sample_rate = float(resample)
+        except ValueError:
+            print(f"error: -r expects a sample rate in Hz, got {resample!r}")
+            return 1
+        if not sample_rate > 0:
+            print(f"error: -r sample rate must be positive, got {resample}")
+            return 1
+    else:
+        sample_rate = DEFAULT_SAMPLE_RATE
 
     print(f'"{to_say}"')
-    print(f" -- {voice}")
+    print(f" -- {getattr(voice, 'name', voice)}")
 
     start = time.perf_counter()
     try:
@@ -113,6 +123,10 @@ def main(argv=None) -> int:
                            sample_rate=sample_rate, contour=contour)
     except KeyError as e:
         print(f"error: {e.args[0]}")
+        return 1
+    except ValueError as e:
+        # e.g. resample rate below the voice's jitter bound
+        print(f"error: {e}")
         return 1
     duration_us = int((time.perf_counter() - start) * 1e6)
 

@@ -7,13 +7,15 @@ value can be one frame, a whole utterance score [T, ...], or a batched score
 [B, T, ...]. All frequency-valued fields are normalized to the sample rate.
 
 All constructors/ops mirror the reference semantics exactly:
-  new            src/lib.rs:343-364  (resamples Hz tables into normalized units)
   silent         src/lib.rs:367-377
-  new_phoneme    src/lib.rs:381-401  (unit-gain amp normalize + resample)
   blend          src/lib.rs:404-414
   resample       src/lib.rs:418-440  (Nyquist clamp; zero amps above Nyquist)
   copy_with_frequency src/lib.rs:445-450
   copy_silent    src/lib.rs:454-459
+The `new`/`new_phoneme` constructors (src/lib.rs:343-364, 381-401) live as
+the voice-compiler's numpy mirrors (voices/voice.py:_np_new_phoneme /
+_np_resample — host-path, sequential f32 amp fold for bit-parity with the
+reference); the oracle has its own NpElem versions.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..core.constants import DEFAULT_SAMPLE_RATE, NUM_FORMANTS
+from ..core.constants import NUM_FORMANTS
 
 
 class SynthesisElem(NamedTuple):
@@ -82,48 +84,12 @@ class SynthesisElem(NamedTuple):
     # ---- constructors ---------------------------------------------------
 
     @staticmethod
-    def new(sample_rate, frequency, formant_freq, formant_smooth, formant_bw,
-            formant_breath, formant_turb, formant_amp) -> "SynthesisElem":
-        """Reference `SynthesisElem::new` (note its odd smooth/bw arg order)."""
-        e = SynthesisElem(
-            frequency=jnp.asarray(frequency, jnp.float32),
-            formant_freq=jnp.asarray(formant_freq, jnp.float32),
-            formant_bw=jnp.asarray(formant_bw, jnp.float32),
-            formant_smooth=jnp.asarray(formant_smooth, jnp.float32),
-            formant_breath=jnp.asarray(formant_breath, jnp.float32),
-            formant_turb=jnp.asarray(formant_turb, jnp.float32),
-            formant_amp=jnp.asarray(formant_amp, jnp.float32),
-        )
-        return e.resample(1.0, sample_rate)
-
-    @staticmethod
     def silent(shape=()) -> "SynthesisElem":
         """The reference's silent frame: 0.25 freqs, zero breath/turb/amp."""
         f = jnp.full(shape, 0.25, jnp.float32)
         q = jnp.full(shape + (NUM_FORMANTS,), 0.25, jnp.float32)
         z = jnp.zeros(shape + (NUM_FORMANTS,), jnp.float32)
         return SynthesisElem(f, q, q, q, z, z, z)
-
-    @staticmethod
-    def new_phoneme(formant_freq, formant_bw, formant_smooth, formant_turb,
-                    formant_breath, formant_amp) -> "SynthesisElem":
-        """Hz-authored phoneme table -> normalized, unit-gain element.
-
-        Argument order matches the voices::MKPHON helper
-        (/root/reference/src/voices/mod.rs:7-14).
-        """
-        amp = jnp.asarray(formant_amp, jnp.float32)
-        amp = amp / jnp.sum(amp, axis=-1, keepdims=True)
-        e = SynthesisElem(
-            frequency=jnp.zeros(amp.shape[:-1], jnp.float32),
-            formant_freq=jnp.asarray(formant_freq, jnp.float32),
-            formant_bw=jnp.asarray(formant_bw, jnp.float32),
-            formant_smooth=jnp.asarray(formant_smooth, jnp.float32),
-            formant_breath=jnp.asarray(formant_breath, jnp.float32),
-            formant_turb=jnp.asarray(formant_turb, jnp.float32),
-            formant_amp=amp,
-        )
-        return e.resample(1.0, DEFAULT_SAMPLE_RATE)
 
     # ---- utilities -------------------------------------------------------
 
@@ -133,9 +99,6 @@ class SynthesisElem(NamedTuple):
     @property
     def batch_shape(self):
         return self.formant_freq.shape[:-1]
-
-    def astype(self, dtype) -> "SynthesisElem":
-        return SynthesisElem(*(f.astype(dtype) for f in self))
 
 
 def stack_elems(elems) -> SynthesisElem:

@@ -100,8 +100,11 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
     # (validated at voice-compile time).
     K = int(_np.ceil(T * MAX_JITTER_INC)) + 2  # cells in window (+next)
     Kw = min(K + 1, nlat)
-    i0 = jnp.minimum(jnp.floor((offset + 1).astype(jnp.float32) * inc)
-                     .astype(jnp.int32), nlat - Kw)
+    # lower clamp: for negative offsets (overlap-save pre-roll) the raw
+    # floor goes negative; dynamic_slice would clamp the slice start to 0
+    # while rel still subtracted the unclamped i0, misaligning every cell
+    i0 = jnp.clip(jnp.floor((offset + 1).astype(jnp.float32) * inc)
+                  .astype(jnp.int32), 0, nlat - Kw)
     rel = jnp.clip(i - i0, 0, Kw - 2)
     onehot = jax.nn.one_hot(rel, Kw, dtype=jnp.float32)          # [T, Kw]
     onehot_n = jax.nn.one_hot(rel + 1, Kw, dtype=jnp.float32)
@@ -121,8 +124,7 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
         nxt = jnp.matmul(onehot_n, win, precision=HI)
         return cur * (1.0 - phi) + nxt * phi
 
-    pitch = (jnp.matmul(onehot, pw[:, None], precision=HI)[:, 0] * (1.0 - phi[:, 0])
-             + jnp.matmul(onehot_n, pw[:, None], precision=HI)[:, 0] * phi[:, 0])
+    pitch = lerp(pw[:, None])[:, 0]
     formant = lerp(fw)
     amp = lerp(aw)
     return pitch, formant, amp

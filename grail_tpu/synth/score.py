@@ -92,7 +92,14 @@ def score_from_phoneme_elems(
         length[i] = pe.length
         # blend_length 0 means "no crossfade, hold until the boundary"
         # (reference: time/0 = inf -> alpha clamps to 1); a tiny epsilon
-        # keeps alpha = min(t/eps, 1) = 1 without inf/NaN on device
+        # keeps alpha = min(t/eps, 1) = 1 without inf/NaN on device.
+        # Known one-sample divergence: at a sample where t == 0.0 EXACTLY
+        # (boundary landing on an integer sample), the reference computes
+        # 0/0 = NaN and Rust f32::min(NaN, 1) = 1 (holds current), while
+        # 0/eps = 0 selects the next element one sample early. Only
+        # reachable with author-supplied zero blend lengths at rates where
+        # boundaries are exact; kept as-is because matching would need a
+        # NaN-semantics case in every expansion path (XLA + both kernels)
         blend[i] = pe.blend_length if pe.blend_length > 0 else 1e-12
 
     # pure numpy on the host path: no eager device ops, no per-call compiles

@@ -40,16 +40,17 @@ from .elem import SynthesisElem
 from .score import Score
 
 
-def expand_score(score: Score, sample_rate, num_samples: int,
-                 offset=0) -> Tuple[SynthesisElem, jnp.ndarray]:
-    """Expand a single-utterance Score ([E] leading dim) into per-sample
-    params [T, ...] plus a validity mask [T]. Use jax.vmap for batches.
+def _selection_prelude(score: Score, sample_rate, num_samples: int, offset):
+    """The shared per-sample selection math: element index by compare-count,
+    one-hot selector, blend alpha, sound flags, validity. ONE implementation
+    for expand_score AND expand_frequency — the split path integrates
+    expand_frequency's output to obtain segment-boundary phases, so the two
+    must stay ARITHMETIC-IDENTICAL; sharing the code makes divergence
+    impossible instead of merely discouraged.
 
-    `offset` (static or traced) shifts the sample window: samples
-    [offset, offset+T) of the utterance — this is what lets the full
-    pipeline run block-by-block without ever materializing [T_total, ...]
-    parameter arrays in HBM.
-    """
+    Returns (sel, shift, a, hs_cur, hs_nxt, valid) where `sel(tab)` is the
+    exact one-hot matmul selector and `shift(tab)` the next-element table
+    view."""
     E = score.num_elems
     T = int(num_samples)
     sr = jnp.float32(sample_rate)
@@ -73,13 +74,9 @@ def expand_score(score: Score, sample_rate, num_samples: int,
     onehot = jax.nn.one_hot(j, E, dtype=jnp.float32)           # [T, E]
 
     # precision=HIGHEST is REQUIRED for exactness: the TPU MXU's default
-    # matmul precision is bf16-ish, which would quantize every gathered
+    # matmul precision is bf16-ish, which would quantize every selected
     # parameter by ~0.4% (measured -40 dB broadband error vs CPU)
-    def sel_scalar(tab):                                       # [E] -> [T]
-        return jnp.matmul(onehot, tab.astype(jnp.float32),
-                          precision=jax.lax.Precision.HIGHEST)
-
-    def sel_field(tab):                                        # [E, F] -> [T, F]
+    def sel(tab):                                  # [E(,F)] -> [T(,F)]
         return jnp.matmul(onehot, tab.astype(jnp.float32),
                           precision=jax.lax.Precision.HIGHEST)
 
@@ -88,23 +85,38 @@ def expand_score(score: Score, sample_rate, num_samples: int,
         return jnp.concatenate([tab[1:], tab[-1:]], axis=0)
 
     s = k1.astype(jnp.float32) * dt
-    t = sel_scalar(C) - s                                      # reference `time`
-    alpha = jnp.minimum(t / sel_scalar(score.blend_length), 1.0)
+    t = sel(C) - s                                             # reference `time`
+    a = jnp.minimum(t / sel(score.blend_length), 1.0)
+
+    hs_f = score.has_sound.astype(jnp.float32)
+    hs_cur = sel(hs_f) > 0.5
+    hs_nxt = (sel(shift(hs_f)) > 0.5) & has_next
+    return sel, shift, a, hs_cur, hs_nxt, valid
+
+
+def expand_score(score: Score, sample_rate, num_samples: int,
+                 offset=0) -> Tuple[SynthesisElem, jnp.ndarray]:
+    """Expand a single-utterance Score ([E] leading dim) into per-sample
+    params [T, ...] plus a validity mask [T]. Use jax.vmap for batches.
+
+    `offset` (static or traced) shifts the sample window: samples
+    [offset, offset+T) of the utterance — this is what lets the full
+    pipeline run block-by-block without ever materializing [T_total, ...]
+    parameter arrays in HBM.
+    """
+    sel, shift, a, hs_cur, hs_nxt, valid = _selection_prelude(
+        score, sample_rate, num_samples, offset)
 
     vec_fields = (score.elem.formant_freq, score.elem.formant_bw,
                   score.elem.formant_smooth, score.elem.formant_breath,
                   score.elem.formant_turb, score.elem.formant_amp)
-    cur = SynthesisElem(sel_scalar(score.elem.frequency),
-                        *(sel_field(f) for f in vec_fields))
-    nxt = SynthesisElem(sel_scalar(shift(score.elem.frequency)),
-                        *(sel_field(shift(f)) for f in vec_fields))
-    hs_f = score.has_sound.astype(jnp.float32)
-    hs_cur = sel_scalar(hs_f) > 0.5
-    hs_nxt = (sel_scalar(shift(hs_f)) > 0.5) & has_next
+    cur = SynthesisElem(sel(score.elem.frequency),
+                        *(sel(f) for f in vec_fields))
+    nxt = SynthesisElem(sel(shift(score.elem.frequency)),
+                        *(sel(shift(f)) for f in vec_fields))
 
     sil = SynthesisElem.silent(())
 
-    a = alpha                      # [T]
     af = a[:, None]                # [T, 1]
     m_cur_v = hs_cur[:, None]
     m_nxt_v = hs_nxt[:, None]
@@ -154,40 +166,15 @@ def expand_frequency(score: Score, sample_rate, num_samples: int, offset=0):
     MUST stay arithmetic-identical to expand_score's frequency output — the
     overlap-save split path integrates this stream (Q32) to obtain exact
     segment-boundary carrier phases, so any divergence breaks phase
-    continuity at segment seams (tested in test_split.py).
+    continuity at segment seams (tested in test_split.py). Sharing
+    _selection_prelude makes that structural: there is exactly one copy of
+    the boundary/alpha math.
     """
-    E = score.num_elems
-    T = int(num_samples)
-    sr = jnp.float32(sample_rate)
-    dt = jnp.float32(1.0) / sr
+    sel, shift, a, hs_cur, hs_nxt, valid = _selection_prelude(
+        score, sample_rate, num_samples, offset)
 
-    C = jnp.cumsum(score.length.astype(jnp.float32))
-    n = jnp.floor(C * sr).astype(jnp.int32)
-    k1 = jnp.arange(1, T + 1, dtype=jnp.int32) + jnp.asarray(offset, jnp.int32)
-    valid = (k1 >= 1) & (k1 <= n[-1])
-
-    below = (n[None, :] < k1[:, None])
-    j = jnp.sum(below.astype(jnp.int32), axis=-1)
-    j = jnp.minimum(j, E - 1)
-    has_next = (j + 1) < E
-    onehot = jax.nn.one_hot(j, E, dtype=jnp.float32)
-
-    def sel_scalar(tab):  # precision must match expand_score's (exactness)
-        return jnp.matmul(onehot, tab.astype(jnp.float32),
-                          precision=jax.lax.Precision.HIGHEST)
-
-    def shift(tab):
-        return jnp.concatenate([tab[1:], tab[-1:]], axis=0)
-
-    s = k1.astype(jnp.float32) * dt
-    t = sel_scalar(C) - s
-    a = jnp.minimum(t / sel_scalar(score.blend_length), 1.0)
-
-    cur_f = sel_scalar(score.elem.frequency)
-    nxt_f = sel_scalar(shift(score.elem.frequency))
-    hs_f = score.has_sound.astype(jnp.float32)
-    hs_cur = sel_scalar(hs_f) > 0.5
-    hs_nxt = (sel_scalar(shift(hs_f)) > 0.5) & has_next
+    cur_f = sel(score.elem.frequency)
+    nxt_f = sel(shift(score.elem.frequency))
 
     sil_f = jnp.float32(0.25)
     both = cur_f * a + nxt_f * (1.0 - a)
@@ -197,11 +184,4 @@ def expand_frequency(score: Score, sample_rate, num_samples: int, offset=0):
     return freq, valid
 
 
-def num_output_samples(total_seconds: float, sample_rate: float) -> int:
-    """Number of samples the reference sequencer emits for a score."""
-    import math
-
-    return int(math.floor(float(total_seconds) * float(sample_rate) + 1e-9))
-
-
-__all__ = ["expand_score", "num_output_samples"]
+__all__ = ["expand_score", "expand_frequency"]

@@ -58,6 +58,17 @@ class Language:
         rules = tuple(sorted(self.rules, key=lambda r: r.string))
         if any(not r.string for r in rules):
             raise ValueError("empty rule strings are not allowed")
+        if not self.case_sensitive:
+            # the transcriber folds only INPUT chars (ASCII-only, like the
+            # reference's to_ascii_lowercase): a rule containing A-Z could
+            # never match and would silently degrade text to silence
+            bad = [r.string for r in rules
+                   if any("A" <= ch <= "Z" for ch in r.string)]
+            if bad:
+                raise ValueError(
+                    f"case-insensitive language {self.name!r}: rules "
+                    f"{bad} contain ASCII uppercase and can never match "
+                    f"(only input is case-folded; author rules lowercase)")
         object.__setattr__(self, "rules", rules)
 
     @staticmethod

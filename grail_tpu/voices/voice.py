@@ -178,6 +178,10 @@ def compile_voice(spec: VoiceSpec) -> Voice:
             if v.shape != (NUM_FORMANTS,):
                 raise ValueError(f"{spec.name}/{name}/{k}: expected {NUM_FORMANTS} values")
             fields[k][i] = v
+        if float(np.sum(fields["amp"][i], dtype=np.float64)) == 0.0:
+            raise ValueError(
+                f"{spec.name}/{name}: amp row sums to zero — unit-gain "
+                f"normalization would produce NaN parameters")
 
     table = _np_new_phoneme(
         freq=fields["freq"], bw=fields["bw"], smooth=fields["smooth"],
