@@ -273,3 +273,12 @@ def test_wav_encoders_agree_on_nonfinite():
     nat = native_encode_wav(x, 44100)
     if nat is not None:   # native lib may be absent (pure-python install)
         assert np.frombuffer(bytes(nat)[44:], np.int16).tolist() == py.tolist()
+
+
+def test_cli_rejects_bad_resample_values():
+    from grail_tpu.cli import main
+
+    assert main(["-s", "-r", "abc", "ae"]) == 1     # non-numeric
+    assert main(["-s", "-r", "0", "ae"]) == 1       # zero
+    assert main(["-s", "-r", "-8000", "ae"]) == 1   # negative
+    assert main(["-s", "-r", "2000", "ae"]) == 1    # below jitter bound
