@@ -27,6 +27,43 @@ TEXTS = ["hello world", "synthesis at scale", "grail on tpu",
          "formants forever"]
 
 
+def _soak(pool, n, args, sr):
+    """Stability soak: TICKS pool ticks with periodic live feeds; reports
+    finiteness, output peak range, and dispatch-time drift (production
+    serving runs unboundedly — this catches leaks, shape-bucket churn, and
+    numeric drift that short latency measurements cannot)."""
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    win, peaks = [], []
+    out = None
+    for tick in range(args.soak):
+        if tick % 7 == 0:
+            i = int(rng.integers(0, n))
+            pool.feed(i, TEXTS[int(rng.integers(0, len(TEXTS)))] + " ")
+            pool.flush(i)
+        s = time.perf_counter()
+        out = pool.read_block(sync=False)
+        win.append(time.perf_counter() - s)
+        if tick % 400 == 399:
+            a = np.asarray(out)            # sync point
+            assert np.isfinite(a).all(), f"non-finite audio at tick {tick}"
+            peaks.append(float(np.abs(a).max()))
+    a = np.asarray(out)
+    q = max(len(win) // 5, 1)
+    print(json.dumps({
+        "bench": "serving_soak",
+        "sessions": n,
+        "ticks": args.soak,
+        "audio_seconds_per_session": round(args.soak * args.block / sr, 1),
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "finite": bool(np.isfinite(a).all()),
+        "peak_min": round(min(peaks), 3) if peaks else None,
+        "peak_max": round(max(peaks), 3) if peaks else None,
+        "dispatch_drift": round(
+            float(np.mean(win[-q:]) / np.mean(win[:q])), 2),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -35,6 +72,11 @@ def main():
     ap.add_argument("--ticks", type=int, default=32)
     ap.add_argument("--readahead", type=int, default=8,
                     help="blocks per dispatch for the read-ahead measurement")
+    ap.add_argument("--soak", type=int, default=0, metavar="TICKS",
+                    help="instead of the latency/throughput measurements, "
+                         "run TICKS pool ticks with periodic live feeds and "
+                         "report stability (finiteness, peak range, "
+                         "dispatch-time drift)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -59,6 +101,10 @@ def main():
         # warm: a few ticks compile the (E, cells) buckets
         for _w in range(3):
             _ = pool.read_block()
+
+        if args.soak:
+            _soak(pool, n, args, sr)
+            continue
 
         # (a) synchronous tick latency: audio delivered to the host every
         # tick (includes this harness's fixed ~30 ms tunnel sync)
