@@ -35,10 +35,12 @@ from .preset_generic import LANGUAGE as _GENERIC_LANGUAGE  # noqa: E402
 from .preset_english import LANGUAGE as _ENGLISH_LANGUAGE  # noqa: E402
 from .preset_espanol import LANGUAGE as _ESPANOL_LANGUAGE  # noqa: E402
 from .preset_deutsch import LANGUAGE as _DEUTSCH_LANGUAGE  # noqa: E402
+from .preset_francais import LANGUAGE as _FRANCAIS_LANGUAGE  # noqa: E402
 
 register_language(_GENERIC_LANGUAGE)
 register_language(_ENGLISH_LANGUAGE)
 register_language(_ESPANOL_LANGUAGE)
 register_language(_DEUTSCH_LANGUAGE)
+register_language(_FRANCAIS_LANGUAGE)
 
 __all__ = ["register_language", "language_names", "get_language", "generic", "Language"]

@@ -113,6 +113,17 @@ def test_deutsch_language():
     assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
 
 
+def test_francais_language():
+    fr = languages.get_language("francais")
+    assert [p.name for p in transcribe("bonjour", fr, leading_silence=False)] == \
+        ["STOP", "B", "O", "N", "ZH", "U", "R"]
+    assert [p.name for p in transcribe("château", fr, leading_silence=False)] == \
+        ["SH", "A", "STOP", "T", "O"]  # ch=[sh], eau=[o], accented â
+    a = synthesize("merci beaucoup", voice="plain", language="francais",
+                   contour=True)
+    assert np.isfinite(a).all() and np.max(np.abs(a)) <= 1.0
+
+
 def test_rulesets_are_prefix_closed():
     """The reference automaton has NO backtracking: when a longer rule's
     candidacy breaks, it falls back only to a rule whose length equals the
