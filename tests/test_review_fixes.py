@@ -116,7 +116,7 @@ def test_native_python_transcriber_utf8_parity():
 
     if not native.available():
         pytest.skip("native library not built")
-    for lname in ("deutsch", "espanol", "english", "generic"):
+    for lname in ("deutsch", "espanol", "english", "francais", "generic"):
         lang = languages.get_language(lname)
         rs = native.NativeRuleset(lang)
         for text in ("straße grün", "¿qué chica?", "日本語 🎵 ñ", "¿¡aä!?"):
