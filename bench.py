@@ -83,8 +83,8 @@ def main():
         _ = float(np.asarray(o[0, 0]))  # forces the full computation
         return time.perf_counter() - t0
 
-    wall_1 = min(timed(1) for _ in range(4))
-    wall_k = min(timed(AMORTIZE_K) for _ in range(3))
+    wall_1 = min(timed(1) for _ in range(6))
+    wall_k = min(timed(AMORTIZE_K) for _ in range(4))
     device_wall = (wall_k - wall_1) / (AMORTIZE_K - 1)
     if device_wall <= 0:
         # pathological tunnel jitter (every 1-run fetch slower than the
