@@ -40,6 +40,70 @@ class Score(NamedTuple):
         return jnp.sum(self.length, axis=-1)
 
 
+def _reference_boundary_samples(lengths, sample_rate: float) -> np.ndarray:
+    """Exact element end-samples of the reference's f32 countdown.
+
+    The reference Sequencer decrements `time` by 1/sr in f32 EVERY sample
+    (src/lib.rs:859-887), accumulating rounding drift that shifts element
+    boundaries by several samples per second relative to the drift-free
+    floor(cumsum*sr). That shift is OBSERVABLE: a boundary landing one
+    sample off at a silence<->sound transition changes the carrier
+    frequency (0.25 vs ~0.003) for that sample, permanently displacing the
+    carrier phase by up to a quarter cycle — measured -14 dB vs the
+    reference on plosive-bearing text when we used exact boundaries.
+
+    np.subtract.accumulate over float32 performs the same sequential
+    rounding as the reference's per-sample subtraction, so each element's
+    crossing (and the residual carried into the next element via
+    `time += length`, same op order as src/lib.rs:864-887) is reproduced
+    bit-exactly without a Python per-sample loop.
+    """
+    sr = np.float32(sample_rate)
+    dt = np.float32(np.float32(1.0) / sr)
+    t = np.float32(0.0)
+    counts = []
+    for L in lengths:
+        # the advance happens inside a sample step: time -= dt (crossing
+        # below 0), then time += next element's length
+        t = np.float32(np.float32(t - dt) + np.float32(L))
+        if t < 0:
+            counts.append(1)   # element consumed within its entry sample
+            continue
+        cap = int(float(L) * float(sr)) + 3
+        seq = np.subtract.accumulate(
+            np.concatenate([np.float32([t]), np.full(cap, dt, np.float32)])
+            .astype(np.float32), dtype=np.float32)
+        neg = np.nonzero(seq < 0)[0]
+        stop = int(neg[0]) if len(neg) else len(seq)
+        counts.append(stop)        # entry sample + (stop-1) further samples
+        t = seq[stop - 1]          # last value still >= 0
+    return np.cumsum(np.asarray(counts, np.int64))
+
+
+def _lengths_hitting_boundaries(n_ref: np.ndarray,
+                                sample_rate: float) -> np.ndarray:
+    """Element lengths (f32) whose f32 cumsum floors to exactly n_ref.
+
+    Targets the middle of each sample bin, then nudges by ulps where f32
+    cumsum rounding slips a bin (sub-sample adjustments: <23 us at 44.1k)."""
+    sr = np.float32(sample_rate)
+    C_t = (n_ref.astype(np.float64) + 0.5) / float(sample_rate)
+    out = np.empty(len(n_ref), np.float32)
+    c = np.float32(0.0)
+    for i in range(len(n_ref)):
+        l = np.float32(C_t[i] - float(c))
+        for _ in range(6):
+            nc = np.float32(c + l)
+            b = int(np.floor(nc * sr))
+            if b == n_ref[i]:
+                break
+            l = np.nextafter(l, np.float32(np.inf if b < n_ref[i]
+                                           else -np.inf), dtype=np.float32)
+        c = np.float32(c + l)
+        out[i] = l
+    return out
+
+
 def score_from_phoneme_elems(
     phoneme_elems: Sequence[PhonemeElem],
     voice,
@@ -83,13 +147,23 @@ def score_from_phoneme_elems(
     length = np.zeros(Epad, np.float32)
     blend = np.full(Epad, 1.0, np.float32)  # padding rows: any finite value
 
+    # boundary alignment: author lengths are re-targeted (sub-sample
+    # nudges) so the closed-form integer boundaries land exactly where the
+    # reference's drifting f32 countdown puts them — see
+    # _reference_boundary_samples for why this is audible
+    if E:
+        n_ref = _reference_boundary_samples(
+            [pe.length for pe in phoneme_elems], float(voice.sample_rate))
+        adj_lengths = _lengths_hitting_boundaries(
+            n_ref, float(voice.sample_rate))
+
     for i, pe in enumerate(phoneme_elems):
         p = int(pe.phoneme)
         snd = is_sound(p) and bool(defined[sound_index(p)])
         idx[i] = sound_index(p) if is_sound(p) else 0
         has_sound[i] = snd
         freq[i] = min(np.float32(pe.frequency), np.float32(0.5))
-        length[i] = pe.length
+        length[i] = adj_lengths[i]
         # blend_length 0 means "no crossfade, hold until the boundary"
         # (reference: time/0 = inf -> alpha clamps to 1); a tiny epsilon
         # keeps alpha = min(t/eps, 1) = 1 without inf/NaN on device.

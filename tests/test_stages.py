@@ -56,28 +56,26 @@ def test_sequencer_matches_oracle(voice, np_voice):
 
     elems, valid = jax.jit(lambda s: expand_score(s, SR, 47104))(score)
     nv = int(np.asarray(valid).sum())
-    assert abs(nv - N) <= 8
+    assert nv == N  # boundary alignment: sample counts match EXACTLY
 
-    # The reference's f32 countdown accumulates ~1e-5 s of drift, which
-    # shifts the crossfade ramp sub-sample-ly; absolute differences stay
-    # ~1e-3 * field scale. Semantic bugs would show up as O(0.1) differences.
-    # isolated boundary samples may land one sample off (the oracle's f32
-    # countdown drift); everything else must match to float precision
+    # With the score's boundary alignment to the reference countdown
+    # (score.py:_reference_boundary_samples), there are no one-sample
+    # boundary outliers left — every sample selects the same element as
+    # the drifting reference machine, and only sub-sample crossfade-ramp
+    # rounding remains. (Pre-alignment this test tolerated 5 outlier
+    # samples per field.)
     got_freq = np.asarray(elems.frequency)[:N]
     gold_freq = np.array([g.frequency for g in gold], np.float32)
     dfreq = np.abs(got_freq - gold_freq)
-    assert (dfreq > 2e-4).sum() <= 5
-    assert np.median(dfreq) < 1e-6
+    assert dfreq.max() < 1e-6
+    assert np.median(dfreq) < 1e-7
 
     for field in ("formant_freq", "formant_amp", "formant_breath", "formant_turb"):
         got = np.asarray(getattr(elems, field))[:N]
         goldf = np.stack([getattr(g, field) for g in gold])
         d = np.abs(got - goldf).max(axis=-1)
-        # element-switch samples may land one sample off; fade-tail samples
-        # (alpha near 1) see the sub-sample ramp drift amplified
-        assert (d > 3e-3).sum() <= 5, field
+        assert d.max() < 5e-4, field
         assert np.median(d) < 1e-5, field
-        assert (d > 1e-3).mean() < 0.02, field
 
 
 def test_sequencer_matches_exact_oracle(voice, np_voice):
@@ -89,6 +87,13 @@ def test_sequencer_matches_exact_oracle(voice, np_voice):
     pelems = _pelems()
     score = score_from_phoneme_elems(pelems, voice)
     seq = orc.oracle_select(pelems, np_voice)
+    # the score's lengths are boundary-aligned to the reference countdown
+    # (score.py:_reference_boundary_samples); the drift-free twin must see
+    # the SAME lengths — the pinning property is about the expansion math
+    import dataclasses
+
+    seq = [dataclasses.replace(e, length=np.float32(l))
+           for e, l in zip(seq, np.asarray(score.length))]
     gold = list(orc.oracle_sequence_exact(seq, SR))
     N = len(gold)
 
