@@ -496,12 +496,17 @@ def oracle_synthesize(elems) -> np.ndarray:
 
 def oracle_pipeline(text: str, spec: VoiceSpec, language, jitter_seed: int = 0,
                     leading_silence: bool = True) -> np.ndarray:
-    """Full text -> samples chain matching examples/cli.rs:175-184."""
+    """Full text -> samples chain matching examples/cli.rs:175-184.
+
+    GLIDE markers go through the same frontend merge as the fast path
+    (synth/score.py:merge_glides) — the merge is frontend preprocessing;
+    this oracle supplies the reference DSP semantics downstream of it."""
+    from ..synth.score import merge_glides
     from ..text.transcribe import transcribe
 
     voice = NpVoice.from_spec(spec)
     phonemes = transcribe(text, language, leading_silence=leading_silence)
-    pelems = oracle_intonate(phonemes, voice)
+    pelems = merge_glides(oracle_intonate(phonemes, voice))
     seq = oracle_select(pelems, voice)
     stream = oracle_sequence(seq, float(voice.sample_rate))
     jittered = oracle_jitter(stream, jitter_seed, voice)

@@ -69,14 +69,23 @@ def _reference_boundary_samples(lengths, sample_rate: float) -> np.ndarray:
         if t < 0:
             counts.append(1)   # element consumed within its entry sample
             continue
-        cap = int(float(L) * float(sr)) + 3
-        seq = np.subtract.accumulate(
-            np.concatenate([np.float32([t]), np.full(cap, dt, np.float32)])
-            .astype(np.float32), dtype=np.float32)
-        neg = np.nonzero(seq < 0)[0]
-        stop = int(neg[0]) if len(neg) else len(seq)
-        counts.append(stop)        # entry sample + (stop-1) further samples
-        t = seq[stop - 1]          # last value still >= 0
+        count = 1              # the entry sample
+        cap = int(float(L) * float(sr)) + 8
+        while True:            # drift can make an element LONGER than its
+            seq = np.subtract.accumulate(      # nominal L*sr: extend until
+                np.concatenate([np.float32([t]),   # the crossing is found
+                                np.full(cap, dt, np.float32)])
+                .astype(np.float32), dtype=np.float32)
+            neg = np.nonzero(seq < 0)[0]
+            if len(neg):
+                stop = int(neg[0])    # seq[stop] < 0; seq[:stop] all >= 0
+                count += stop - 1     # seq[0] == t was already counted
+                t = seq[stop - 1]     # last value still >= 0
+                break
+            count += cap
+            t = seq[-1]
+            cap = 1 << 14
+        counts.append(count)
     return np.cumsum(np.asarray(counts, np.int64))
 
 
@@ -104,6 +113,30 @@ def _lengths_hitting_boundaries(n_ref: np.ndarray,
     return out
 
 
+def merge_glides(phoneme_elems: Sequence[PhonemeElem]) -> list:
+    """GLIDE frontend preprocessing: a Glide element extends the previous
+    element by the glide's duration and stretches its crossfade over that
+    span, so surrounding phonemes blend directly instead of dipping through
+    silence (the reference documents this intent at src/lib.rs:642-644 but
+    leaves Glide unimplemented). Shared by the fast path's score builder
+    AND oracle_pipeline so fidelity comparisons see the same element
+    stream — the merge is frontend preprocessing, upstream of the
+    reference-semantics DSP."""
+    from ..text.phonemes import Phoneme as _P
+
+    merged: list = []
+    for pe in phoneme_elems:
+        if int(pe.phoneme) == int(_P.GLIDE) and merged:
+            prev = merged[-1]
+            merged[-1] = PhonemeElem(prev.phoneme,
+                                     prev.length + pe.length,
+                                     pe.length + 0.5 * prev.blend_length,
+                                     prev.frequency)
+        else:
+            merged.append(pe)
+    return merged
+
+
 def score_from_phoneme_elems(
     phoneme_elems: Sequence[PhonemeElem],
     voice,
@@ -122,19 +155,7 @@ def score_from_phoneme_elems(
     over that span, so the surrounding phonemes blend directly instead of
     dipping through silence.
     """
-    from ..text.phonemes import Phoneme as _P
-
-    merged = []
-    for pe in phoneme_elems:
-        if int(pe.phoneme) == int(_P.GLIDE) and merged:
-            prev = merged[-1]
-            merged[-1] = PhonemeElem(prev.phoneme,
-                                     prev.length + pe.length,
-                                     pe.length + 0.5 * prev.blend_length,
-                                     prev.frequency)
-        else:
-            merged.append(pe)
-    phoneme_elems = merged
+    phoneme_elems = merge_glides(phoneme_elems)
     E = len(phoneme_elems)
     Epad = max(pad_to or E, E, 1)
 

@@ -34,3 +34,26 @@ def test_scan_path_vs_golden_wav():
     audio = synthesize("ae", use_scan=True)
     assert spectral_error_db(audio, gold) < -60
     assert sample_error_db(audio, gold) < -55
+
+
+def test_fidelity_covers_all_phoneme_classes():
+    """Regression for two masked-divergence bugs (boundary drift on
+    plosives, glide merge vs oracle): texts covering every phoneme class —
+    vowels, plosives (STOP), fricatives, nasals, and GLIDE diphthongs —
+    must all validate < -60 dB against the oracle. Smooth vowel-only
+    fidelity texts hid both bugs through round 1."""
+    from grail_tpu import languages
+    from grail_tpu.api import synthesize
+    from grail_tpu.oracle import oracle_pipeline
+    from grail_tpu.utils import spectral_error_db
+    from grail_tpu.voices import get_spec
+
+    cases = [("english", "plain", "say hi"),        # glide diphthongs
+             ("deutsch", "plain", "guten tag")]     # plosive-heavy
+    for lname, vname, text in cases:
+        gold = oracle_pipeline(text, get_spec(vname),
+                               languages.get_language(lname))
+        got = synthesize(text, voice=vname, language=lname)
+        assert len(gold) == len(got), (text, len(gold), len(got))
+        err = spectral_error_db(got, gold)
+        assert err < -60, (lname, text, err)
