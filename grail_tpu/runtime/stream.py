@@ -226,11 +226,20 @@ class StreamSession:
         self.speaking_rate = speaking_rate
         self.sample_rate = float(self.voice.sample_rate)
 
-        self._elements: List[PhonemeElem] = []
+        self._elements: List[PhonemeElem] = []   # always glide-merged
         self._rev = 0                # bumped whenever the rolling score
         #                              changes (StreamPool upload cache key)
-        self._endn_key = None        # cache for _end_samples (per-tick host
+        self._endn_key = None        # cache for _boundaries (per-tick host
         self._endn = None            # bookkeeping must not rebuild arrays)
+        self._resid = None           # per-element drift residuals (cached
+        #                              alongside _endn)
+        self._drift_t0 = np.float32(0.0)  # f32 countdown residual carried
+        #                              across rebases: keeps the remaining
+        #                              elements' boundaries bit-identical
+        #                              to the continuous stream's
+        self._score_cache = {}       # {(rev, pad_to): Score} — the drift
+        #                              sim + table gather re-ran for EVERY
+        #                              pool session on ANY cache-key change
         self._horizon_tail = 0       # trailing auto-appended idle silence
         self._pool_ref = None        # (pool, index) when owned by a StreamPool
         self._consumed_samples = 0   # samples consumed within current score
@@ -305,7 +314,15 @@ class StreamSession:
         pelems = intonate(phonemes, self.language, self.voice,
                           contour=self.contour, speaking_rate=self.speaking_rate)
         self._trim_horizon_tail()
-        self._elements.extend(pelems)
+        # glide-merge at append time so the rolling element list is 1:1
+        # with the device score's rows (merge_glides only ever folds an
+        # element into its immediate predecessor, so one element of
+        # context suffices; re-merging a merged list is a no-op)
+        from ..synth.score import merge_glides
+
+        tail = self._elements[-1:]
+        merged = merge_glides(tail + list(pelems))
+        self._elements = self._elements[:len(self._elements) - len(tail)] + merged
         self._rev += 1
 
     def _trim_horizon_tail(self) -> None:
@@ -338,23 +355,50 @@ class StreamSession:
         self._horizon_tail = 0
 
     def _end_samples(self) -> np.ndarray:
-        """Cumulative element end-samples [E] int64 (f32 cumsum x sr, floored
-        — the sequencer's boundary convention). Cached on _rev: every score
-        mutation path (feed, horizon append, rebase, load_state) bumps it —
-        that is the documented contract. StreamPool's per-tick bookkeeping
-        calls this for every session every tick, and rebuilding numpy
-        arrays dominated the steady-state tick."""
+        """Cumulative element end-samples [E] int64, in the SAME boundary
+        convention the device score uses: the reference's drifting f32
+        countdown (score.py:_reference_boundary_samples, seeded with the
+        rebase-carried residual). Host bookkeeping (horizon sizing, tail
+        trimming, rebase arithmetic) and the device score therefore share
+        one boundary per element — the raw floor(cumsum*sr) convention
+        previously used here drifted ~5 samples/s away from the score's
+        retargeted lengths. Cached on _rev: every score mutation path
+        (feed, horizon append, rebase, load_state) bumps it — that is the
+        documented contract. StreamPool's per-tick bookkeeping calls this
+        for every session every tick."""
+        return self._boundaries()[0]
+
+    def _boundaries(self):
+        """(end_samples [E] int64, drift residuals [E] f32), cached on _rev."""
+        from ..synth.score import _reference_boundary_samples
+
         key = self._rev
         if self._endn_key != key:
             if self._elements:
-                lengths = np.float32([e.length for e in self._elements])
-                self._endn = np.floor(
-                    np.cumsum(lengths, dtype=np.float32)
-                    * np.float32(self.sample_rate)).astype(np.int64)
+                self._endn, self._resid = _reference_boundary_samples(
+                    [e.length for e in self._elements], self.sample_rate,
+                    t0=float(self._drift_t0))
             else:
                 self._endn = np.zeros(1, np.int64)
+                self._resid = np.zeros(0, np.float32)
             self._endn_key = key
-        return self._endn
+            self._score_cache.clear()
+        return self._endn, self._resid
+
+    def _build_score(self, pad_to: int) -> Score:
+        """Device Score for the current elements, built from the cached
+        boundary sim (one drift simulation per revision, one table gather
+        per (revision, pad) — a pool cache-key change previously re-ran
+        both for every session every tick)."""
+        key = (self._rev, pad_to)
+        score = self._score_cache.get(key)
+        if score is None:
+            n_ref, _ = self._boundaries()
+            score = score_from_phoneme_elems(
+                self._elements, self.voice, pad_to=pad_to,
+                n_ref=n_ref if self._elements else None)
+            self._score_cache[key] = score
+        return score
 
     def _ensure_audio_horizon(self, samples_needed: int) -> None:
         """Idle behavior: extend with Silence elements (the reference's
@@ -391,13 +435,17 @@ class StreamSession:
         upload cache); pass 0 when a bump is happening anyway."""
         if not self._elements:
             return
-        n = self._end_samples()
+        n, resid = self._boundaries()
         # keep one consumed element of margin (its params blend into the next)
         drop = int(np.searchsorted(n, self._consumed_samples, side="right"))
         drop = max(0, drop - 1)
         if drop > min_drop:
             self._elements = self._elements[drop:]
             self._consumed_samples -= int(n[drop - 1])
+            # carry the countdown residual at the drop point so the
+            # remaining elements' boundaries stay bit-identical to the
+            # continuous (never-rebased) stream's
+            self._drift_t0 = np.float32(resid[drop - 1])
             self._rev += 1
 
     # -- audio -------------------------------------------------------------
@@ -442,7 +490,7 @@ class StreamSession:
         self._rebase()
 
         E = _bucket(len(self._elements))
-        score = score_from_phoneme_elems(self._elements, self.voice, pad_to=E)
+        score = self._build_score(E)
 
         inc = self.voice.jitter_frequency
         cells = int(np.floor((self._jitter_pos + blk + 1) * inc)) + 4
@@ -467,22 +515,21 @@ class StreamSession:
     # session — rolling score, sample counters, DSP state, jitter lattice
     # continuations — serializes to one npz payload.
 
-    def save_state(self) -> bytes:
-        import io
-
-        self._materialize_state()
-        buf = io.BytesIO()
+    def _payload_dict(self, state: SynthState) -> dict:
+        """Flat array dict of the full session state (score + counters +
+        DSP state + lattice continuations) — shared by the solo and
+        pool-level checkpoint formats."""
         elems = np.array([(int(e.phoneme), e.length, e.blend_length, e.frequency)
                           for e in self._elements], np.float64).reshape(-1, 4)
-        np.savez(
-            buf,
+        return dict(
             elems=elems,
             counters=np.array([self._consumed_samples, self._jitter_pos], np.int64),
-            phase=np.asarray(self._state.phase),
-            lp=np.asarray(self._state.filter_state_a),
-            fb=np.asarray(self._state.filter_state_b),
-            fc=np.asarray(self._state.filter_state_c),
-            seed=np.asarray(self._state.seed),
+            drift_t0=np.float32(self._drift_t0),
+            phase=np.asarray(state.phase),
+            lp=np.asarray(state.filter_state_a),
+            fb=np.asarray(state.filter_state_b),
+            fc=np.asarray(state.filter_state_c),
+            seed=np.asarray(state.seed),
             lat_pitch=self._lattice.pitch,
             lat_formant=self._lattice.formant,
             lat_amp=self._lattice.amp,
@@ -492,36 +539,62 @@ class StreamSession:
             pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
             residual=self._residual,
         )
+
+    def _apply_payload(self, z, prefix: str = "") -> None:
+        """Restore session state from a dict-like of arrays (npz archive),
+        keys optionally prefixed (pool-level payloads pack N sessions into
+        one archive). Does NOT scatter into a pool's stacked device state —
+        callers handle that (load_state per-session, StreamPool.load in
+        one stacked upload)."""
+        def g(k):
+            return z[prefix + k]
+
+        def has(k):
+            try:
+                return (prefix + k) in z
+            except TypeError:
+                return (prefix + k) in z.files
+
+        self._elements = [
+            PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
+            for r in g("elems")]
+        self._rev += 1   # restored score invalidates pool/end-sample caches
+        self._horizon_tail = 0       # restored elements count as real
+        self._drift_t0 = np.float32(g("drift_t0")) if has("drift_t0") \
+            else np.float32(0.0)
+        self._consumed_samples = int(g("counters")[0])
+        self._jitter_pos = int(g("counters")[1])
+        self._state = SynthState(
+            phase=jnp.asarray(g("phase")),
+            filter_state_a=jnp.asarray(g("lp")),
+            filter_state_b=jnp.asarray(g("fb")),
+            filter_state_c=jnp.asarray(g("fc")),
+            seed=jnp.asarray(g("seed")),
+        )
+        self._lattice.pitch = g("lat_pitch")
+        self._lattice.formant = g("lat_formant")
+        self._lattice.amp = g("lat_amp")
+        st = g("lat_states")
+        self._lattice._pitch_state.state = int(st[0])
+        self._lattice._formant_state.state = int(st[1])
+        self._lattice._amp_state.state = int(st[2])
+        self._pending_chars = list(bytes(g("pending")).decode())
+        self._residual = np.asarray(g("residual"), np.float32) if has("residual") \
+            else np.empty(0, np.float32)
+
+    def save_state(self) -> bytes:
+        import io
+
+        self._materialize_state()
+        buf = io.BytesIO()
+        np.savez(buf, **self._payload_dict(self._state))
         return buf.getvalue()
 
     def load_state(self, payload: bytes) -> None:
         import io
 
         z = np.load(io.BytesIO(payload))
-        self._elements = [
-            PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
-            for r in z["elems"]]
-        self._rev += 1   # restored score invalidates pool/end-sample caches
-        self._horizon_tail = 0       # restored elements count as real
-        self._consumed_samples = int(z["counters"][0])
-        self._jitter_pos = int(z["counters"][1])
-        self._state = SynthState(
-            phase=jnp.asarray(z["phase"]),
-            filter_state_a=jnp.asarray(z["lp"]),
-            filter_state_b=jnp.asarray(z["fb"]),
-            filter_state_c=jnp.asarray(z["fc"]),
-            seed=jnp.asarray(z["seed"]),
-        )
-        self._lattice.pitch = z["lat_pitch"]
-        self._lattice.formant = z["lat_formant"]
-        self._lattice.amp = z["lat_amp"]
-        st = z["lat_states"]
-        self._lattice._pitch_state.state = int(st[0])
-        self._lattice._formant_state.state = int(st[1])
-        self._lattice._amp_state.state = int(st[2])
-        self._pending_chars = list(bytes(z["pending"]).decode())
-        self._residual = np.asarray(z["residual"], np.float32) if "residual" in z \
-            else np.empty(0, np.float32)
+        self._apply_payload(z)
         if self._pool_ref is not None:
             # pool-owned: the pool reads DSP state from its stacked device
             # pytree, so the restored slice must be scattered back (and the
@@ -534,9 +607,8 @@ class StreamSession:
 
     @property
     def pending_seconds(self) -> float:
-        lengths = np.float32([e.length for e in self._elements])
-        total = float(lengths.sum()) if len(lengths) else 0.0
-        return max(0.0, total - self._consumed_samples / self.sample_rate)
+        end = int(self._end_samples()[-1]) if self._elements else 0
+        return max(0.0, (end - self._consumed_samples) / self.sample_rate)
 
 
 class StreamPool:
@@ -599,6 +671,8 @@ class StreamPool:
         # and device-advanced offsets — zero host->device transfers
         self._cache_key = None
         self._dev = None
+        self._inflight = None        # depth-2 pipeline: the dispatched-but-
+        #                              unfetched tick (see tick_pipelined)
         self._srj = jnp.float32(self.sample_rate)
         for i, s in enumerate(self.sessions):
             s._pool_ref = (self, i)
@@ -633,8 +707,7 @@ class StreamPool:
         if key == self._cache_key:
             return self._dev      # steady state: nothing to upload
 
-        scores = [score_from_phoneme_elems(s._elements, s.voice, pad_to=E)
-                  for s in self.sessions]
+        scores = [s._build_score(E) for s in self.sessions]
         from ..synth.score import stack_scores
 
         scores_b = stack_scores(scores)
@@ -735,6 +808,76 @@ class StreamPool:
             s._consumed_samples += blk
             s._jitter_pos += blk
         return np.asarray(out, np.float32) if sync else out
+
+    # -- depth-2 pipelined serving ----------------------------------------
+
+    def tick_pipelined(self):
+        """One serving tick with a depth-2 pipeline: dispatches THIS tick's
+        device program, starts its device->host copy asynchronously, and
+        returns the PREVIOUS tick's audio [N, block] — so the fetch of tick
+        k drains while tick k+1 computes. Bounded queue depth 2 (one tick
+        in flight), exactly one extra block of sink latency vs a
+        synchronous tick; no read-ahead (each tick's text can still be fed
+        right up to its dispatch).
+
+        Returns None on the first call (nothing in flight yet); call
+        drain() at end-of-stream for the final block. This is the serving
+        loop for strict per-block deadlines (the reference's audio-callback
+        pull contract, examples/interactive.rs:41-70) on hardware where a
+        synchronous dispatch+fetch exceeds the block budget.
+        """
+        out = self.read_block(sync=False)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass   # backend without async D2H: np.asarray below still works
+        prev, self._inflight = getattr(self, "_inflight", None), out
+        return None if prev is None else np.asarray(prev, np.float32)
+
+    def drain(self):
+        """Fetch the last in-flight pipelined tick (None if none)."""
+        prev, self._inflight = getattr(self, "_inflight", None), None
+        return None if prev is None else np.asarray(prev, np.float32)
+
+    # -- pool-level checkpoint / restore -----------------------------------
+    #
+    # The serving-ops story (migration / restart): ONE payload captures all
+    # N sessions — rolling scores, counters, lattice continuations — plus
+    # the stacked device DSP state, fetched in a single device->host
+    # transfer (per-session save_state would pay 5*N tiny device slices).
+
+    def save(self) -> bytes:
+        import io
+
+        if getattr(self, "_inflight", None) is not None:
+            self.drain()   # a checkpoint must not orphan an in-flight tick
+        host = SynthState(*(np.asarray(x) for x in self._states))
+        parts = {"pool_meta": np.array([self.n, self.block], np.int64)}
+        for i, s in enumerate(self.sessions):
+            st = SynthState(*(f[i] for f in host))
+            for k, v in s._payload_dict(st).items():
+                parts[f"s{i}_{k}"] = v
+        buf = io.BytesIO()
+        np.savez(buf, **parts)
+        return buf.getvalue()
+
+    def load(self, payload: bytes) -> None:
+        import io
+
+        z = np.load(io.BytesIO(payload))
+        n, block = (int(x) for x in z["pool_meta"])
+        if n != self.n:
+            raise ValueError(f"payload has {n} sessions, pool has {self.n}")
+        if block != self.block:
+            raise ValueError(f"payload block={block}, pool block={self.block}")
+        for i, s in enumerate(self.sessions):
+            s._apply_payload(z, prefix=f"s{i}_")
+        # one stacked upload replaces the whole device state
+        self._states = SynthState(*(
+            jnp.stack([jnp.asarray(f) for f in fields])
+            for fields in zip(*(s._state for s in self.sessions))))
+        self._cache_key = None
+        self._inflight = None
 
 
 __all__ = ["StreamSession", "StreamPool"]

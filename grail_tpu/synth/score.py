@@ -40,7 +40,8 @@ class Score(NamedTuple):
         return jnp.sum(self.length, axis=-1)
 
 
-def _reference_boundary_samples(lengths, sample_rate: float) -> np.ndarray:
+def _reference_boundary_samples(lengths, sample_rate: float,
+                                t0: float = 0.0):
     """Exact element end-samples of the reference's f32 countdown.
 
     The reference Sequencer decrements `time` by 1/sr in f32 EVERY sample
@@ -57,17 +58,26 @@ def _reference_boundary_samples(lengths, sample_rate: float) -> np.ndarray:
     crossing (and the residual carried into the next element via
     `time += length`, same op order as src/lib.rs:864-887) is reproduced
     bit-exactly without a Python per-sample loop.
+
+    `t0` seeds the countdown with a residual carried from earlier elements
+    (streaming sessions rebase their rolling score; passing the residual at
+    the rebase point keeps the remaining boundaries bit-identical to the
+    continuous, never-rebased stream). Returns (cumulative end samples
+    [E] int64, per-element residuals [E] f32 — residuals[i] is the t0 for
+    a stream continuing after element i).
     """
     sr = np.float32(sample_rate)
     dt = np.float32(np.float32(1.0) / sr)
-    t = np.float32(0.0)
+    t = np.float32(t0)
     counts = []
+    residuals = []
     for L in lengths:
         # the advance happens inside a sample step: time -= dt (crossing
         # below 0), then time += next element's length
         t = np.float32(np.float32(t - dt) + np.float32(L))
         if t < 0:
             counts.append(1)   # element consumed within its entry sample
+            residuals.append(t)
             continue
         count = 1              # the entry sample
         cap = int(float(L) * float(sr)) + 8
@@ -86,7 +96,9 @@ def _reference_boundary_samples(lengths, sample_rate: float) -> np.ndarray:
             t = seq[-1]
             cap = 1 << 14
         counts.append(count)
-    return np.cumsum(np.asarray(counts, np.int64))
+        residuals.append(t)
+    return (np.cumsum(np.asarray(counts, np.int64)),
+            np.asarray(residuals, np.float32))
 
 
 def _lengths_hitting_boundaries(n_ref: np.ndarray,
@@ -109,6 +121,13 @@ def _lengths_hitting_boundaries(n_ref: np.ndarray,
             l = np.nextafter(l, np.float32(np.inf if b < n_ref[i]
                                            else -np.inf), dtype=np.float32)
         c = np.float32(c + l)
+        # a convergence failure here would silently desynchronize EVERY
+        # later boundary from the reference countdown (the bit-alignment
+        # this machinery exists for) — fail loudly instead
+        if int(np.floor(c * sr)) != n_ref[i]:
+            raise RuntimeError(
+                f"boundary retarget failed to converge at element {i}: "
+                f"floor(cumsum*sr)={int(np.floor(c * sr))} != n_ref={n_ref[i]}")
         out[i] = l
     return out
 
@@ -141,6 +160,8 @@ def score_from_phoneme_elems(
     phoneme_elems: Sequence[PhonemeElem],
     voice,
     pad_to: int | None = None,
+    n_ref: np.ndarray | None = None,
+    drift_t0: float = 0.0,
 ) -> Score:
     """Host-side Selector: phoneme stream -> Score (reference src/lib.rs:987-1006).
 
@@ -154,6 +175,12 @@ def score_from_phoneme_elems(
     previous element by the glide's duration and stretches its crossfade
     over that span, so the surrounding phonemes blend directly instead of
     dipping through silence.
+
+    `n_ref` (optional) supplies precomputed reference boundary samples for
+    the (already glide-merged) element list, skipping the O(total samples)
+    drift simulation — streaming sessions cache it per score revision.
+    `drift_t0` seeds the drift simulation's countdown residual (see
+    _reference_boundary_samples) when n_ref is not given.
     """
     phoneme_elems = merge_glides(phoneme_elems)
     E = len(phoneme_elems)
@@ -173,8 +200,11 @@ def score_from_phoneme_elems(
     # reference's drifting f32 countdown puts them — see
     # _reference_boundary_samples for why this is audible
     if E:
-        n_ref = _reference_boundary_samples(
-            [pe.length for pe in phoneme_elems], float(voice.sample_rate))
+        if n_ref is None:
+            n_ref, _ = _reference_boundary_samples(
+                [pe.length for pe in phoneme_elems],
+                float(voice.sample_rate), t0=drift_t0)
+        assert len(n_ref) == E, "n_ref must cover the glide-merged elements"
         adj_lengths = _lengths_hitting_boundaries(
             n_ref, float(voice.sample_rate))
 

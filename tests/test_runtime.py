@@ -282,3 +282,101 @@ def test_cli_rejects_bad_resample_values():
     assert main(["-s", "-r", "0", "ae"]) == 1       # zero
     assert main(["-s", "-r", "-8000", "ae"]) == 1   # negative
     assert main(["-s", "-r", "2000", "ae"]) == 1    # below jitter bound
+
+
+def test_host_boundaries_match_device_score():
+    """ADVICE r2 (medium): host bookkeeping (_end_samples) and the device
+    score must share ONE boundary convention — the reference's drifting f32
+    countdown. The device score's retargeted lengths floor-cumsum to
+    exactly the host's cached end samples."""
+    s = StreamSession(voice="plain", language="english", block=1024)
+    s.feed("hello there this is a boundary check ")
+    s.flush()
+    n_host = s._end_samples()
+    score = s._build_score(len(s._elements))
+    lens = np.asarray(score.length, np.float32)
+    n_dev = np.floor(np.cumsum(lens, dtype=np.float32)
+                     * np.float32(s.sample_rate)).astype(np.int64)
+    np.testing.assert_array_equal(n_host, n_dev)
+
+
+def test_rebase_carries_drift_residual():
+    """Rebasing the rolling score must not shift the remaining elements'
+    boundaries: the f32 countdown residual at the drop point is carried, so
+    post-rebase boundaries equal the continuous stream's (shifted by the
+    dropped prefix)."""
+    from grail_tpu.text.intonate import PhonemeElem
+    from grail_tpu.text.phonemes import Phoneme
+
+    s = StreamSession(voice="plain", language="english", block=1024)
+    elems = [PhonemeElem(Phoneme.A if i % 2 else Phoneme.E, 0.5, 0.5, 120 / 44100.0)
+             for i in range(24)]
+    s._elements = list(elems)
+    s._rev += 1
+    n0 = s._end_samples().copy()
+    s._consumed_samples = int(n0[9]) + 5   # mid element 10
+    s._rebase(min_drop=0)
+    drop = 24 - len(s._elements)
+    assert drop >= 1
+    n1 = s._end_samples()
+    np.testing.assert_array_equal(n1 + int(n0[drop - 1]), n0[drop:])
+
+
+def test_pool_tick_pipelined_matches_sync_ticks():
+    """Depth-2 pipelined ticks deliver the same audio as synchronous ticks,
+    shifted by exactly one tick (first call returns None; drain() flushes
+    the final in-flight block)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    def mk():
+        pool = StreamPool(2, voice="plain", language="english", block=1024,
+                          backend="fused_interpret")
+        pool.feed(0, "hello world ")
+        pool.flush(0)
+        pool.feed(1, "aeio ")
+        pool.flush(1)
+        return pool
+
+    p1 = mk()
+    sync = [p1.read_block() for _ in range(5)]
+
+    p2 = mk()
+    assert p2.tick_pipelined() is None
+    piped = [p2.tick_pipelined() for _ in range(4)] + [p2.drain()]
+    assert p2.drain() is None
+    for a, b in zip(sync, piped):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pool_checkpoint_restore_bit_exact():
+    """StreamPool.save/load round-trip: a restored pool continues with
+    BIT-IDENTICAL audio for every session (the serving migration/restart
+    story — VERDICT r2 #6)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(4, voice="plain", language="english", block=1024,
+                      backend="fused_interpret", seeds=[3, 1, 4, 1])
+    texts = ["hello world ", "aeio ", "the quick brown fox ", ""]
+    for i, t in enumerate(texts):
+        if t:
+            pool.feed(i, t)
+            pool.flush(i)
+    for _ in range(3):
+        _ = pool.read_block()
+    blob = pool.save()
+    cont = [pool.read_block() for _ in range(3)]
+    pool.feed(0, "more ")   # mutate the original past the checkpoint
+    _ = pool.read_block()
+
+    pool2 = StreamPool(4, voice="plain", language="english", block=1024,
+                       backend="fused_interpret", seeds=[9, 9, 9, 9])
+    pool2.load(blob)
+    cont2 = [pool2.read_block() for _ in range(3)]
+    for a, b in zip(cont, cont2):
+        np.testing.assert_array_equal(a, b)
+
+    # shape mismatches are loud
+    bad = StreamPool(2, voice="plain", language="english", block=1024,
+                     backend="fused_interpret")
+    with pytest.raises(ValueError):
+        bad.load(blob)
