@@ -9,7 +9,8 @@ and pjit/shard_map data-parallel scaling over device meshes.
 
 __version__ = "0.1.0"
 
-from .api import synthesize, synthesize_batch, synthesize_score, text_to_score
+from .api import (synthesize, synthesize_batch, synthesize_score,
+                  synthesize_scores, text_to_score)
 from .core.constants import DEFAULT_SAMPLE_RATE, NUM_FORMANTS
 from .synth.elem import SynthesisElem
 from .text.phonemes import Phoneme
@@ -20,6 +21,8 @@ from .voices import Voice, VoiceSpec, PhonemeSpec, get_voice, register_voice, vo
 from .languages import get_language, register_language, language_names
 
 __all__ = [
+    "synthesize", "synthesize_batch", "synthesize_score",
+    "synthesize_scores", "text_to_score",
     "DEFAULT_SAMPLE_RATE", "NUM_FORMANTS",
     "SynthesisElem", "Phoneme", "Language", "TranscriptionRule",
     "PhonemeElem", "intonate", "transcribe", "transcribe_chars",

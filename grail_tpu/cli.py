@@ -54,6 +54,8 @@ def main(argv=None) -> int:
         print("-i or --input to read from a file")
         print("-s or --silent to not play back any sound")
         print("-c or --contour to enable the intonation contour")
+        print("--play to play back through the audio device (or a paced")
+        print("       mock sink with underrun counters when headless)")
         print("-V or --version to display the version")
         print("Voices:")
         for n in voice_names():
@@ -136,6 +138,21 @@ def main(argv=None) -> int:
     if output_file:
         print(f"Writing generated sound to {output_file}")
         save_wav(output_file, audio, int(sample_rate))
+
+    # live playback (the reference's cpal path, examples/cli.rs:205-272):
+    # a real sounddevice stream when hardware exists, else a paced mock
+    # sink with the same pull contract + underrun counters (headless)
+    if _has_argument(args, "--play", "--play") and \
+            not _has_argument(args, "-s", "--silent"):
+        from .runtime.playback import open_sink
+
+        sink = open_sink(sample_rate, block=1024)
+        sink.write(audio)
+        sink.end()
+        sink.drain(timeout=len(audio) / sample_rate + 5.0)
+        st = sink.close()
+        print(f"played {len(audio) / sample_rate:.2f}s via {sink.mode} sink "
+              f"({st['underruns']} underruns)")
     return 0
 
 

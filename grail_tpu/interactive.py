@@ -31,33 +31,61 @@ def main(argv=None) -> int:
                     help="write raw float32 samples to stdout instead of a WAV")
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("-c", "--contour", action="store_true")
+    ap.add_argument("--play", action="store_true",
+                    help="play live through the audio device (or a paced "
+                         "mock callback sink with underrun counters when "
+                         "headless) — the reference's cpal output role")
     args = ap.parse_args(argv)
 
     session = StreamSession(voice=args.voice, language=args.language,
                             block=args.block, contour=args.contour)
     sr = int(session.sample_rate)
 
+    sink = None
+    if args.play:
+        from .runtime.playback import open_sink
+
+        sink = open_sink(sr, block=args.block)
+        print(f"playback: {sink.mode} sink, block {args.block} "
+              f"({sink.period * 1e3:.1f} ms)", file=sys.stderr)
+
     chunks = []
 
     def emit(a: np.ndarray):
+        if sink is not None:
+            sink.write(a)
         if args.raw:
             sys.stdout.buffer.write(a.astype(np.float32).tobytes())
             sys.stdout.buffer.flush()
-        else:
+        elif sink is None:
             chunks.append(a)
 
     print(f"grail-tpu interactive: voice={args.voice} language={args.language} "
           f"(type text, Ctrl-D to finish)", file=sys.stderr)
     try:
         for line in sys.stdin:
-            session.feed(line.rstrip("\n") + " ", parse_commands=True)
+            try:
+                session.feed(line.rstrip("\n") + " ", parse_commands=True)
+            except (ValueError, KeyError) as e:
+                # bad command ([typo:..], unknown voice/lang, ...) — report
+                # and keep the stream alive, like any REPL
+                print(f"error: {e}", file=sys.stderr)
+                continue
             session.flush()
             # drain everything pending plus a short tail
             n = int(session.pending_seconds * sr) + session.block
             emit(session.read(n))
+            if sink is not None:
+                sink.end()
     except KeyboardInterrupt:
         pass
 
+    if sink is not None:
+        sink.drain()
+        st = sink.close()
+        print(f"playback done: {st['pulls']} pulls, {st['underruns']} "
+              f"underruns, worst_late {st['worst_late_ms']} ms",
+              file=sys.stderr)
     if not args.raw and chunks:
         from .runtime.wav import save_wav
 

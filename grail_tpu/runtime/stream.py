@@ -81,30 +81,61 @@ class _IncrementalLattice:
         return JitterLattice(self.pitch, self.formant, self.amp)
 
 
+STREAM_COMMANDS = ("pitch", "rate", "voice", "lang")
+
+
 def _parse_commands(text: str):
     """Split text into ('text', str) and (command, value) chunks.
 
-    Command syntax: `[key:value]`; an unterminated or malformed bracket is
-    treated as literal text."""
+    Grammar (documented in docs/AUTHORING.md — the reference's planned
+    parser stage, src/lib.rs:1366, README.md:19):
+
+        command  := '[' key ':' value ']'     key in STREAM_COMMANDS
+        literal  := '[['  (a literal '[')  |  ']]'  (a literal ']')
+
+    Malformed input is a loud ValueError — an unterminated '[', a
+    bracket body without ':', or an unknown key (silently speaking a
+    mistyped command as text hides the mistake from the author)."""
     out = []
+    buf = []
     i = 0
-    while i < len(text):
-        j = text.find("[", i)
-        if j < 0:
-            out.append(("text", text[i:]))
-            break
-        k = text.find("]", j)
-        body = text[j + 1:k] if k > 0 else ""
-        if k > 0 and ":" in body and body.split(":", 1)[0] in ("pitch", "rate", "voice"):
-            if j > i:
-                out.append(("text", text[i:j]))
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "[":
+            if text[i + 1:i + 2] == "[":
+                buf.append("[")
+                i += 2
+                continue
+            k = text.find("]", i)
+            if k < 0:
+                raise ValueError(
+                    f"unterminated command bracket at {text[i:i + 20]!r} "
+                    "(use '[[' for a literal '[')")
+            body = text[i + 1:k]
+            if ":" not in body:
+                raise ValueError(
+                    f"malformed command {('[' + body + ']')!r}: expected "
+                    "[key:value] (use '[[' for a literal '[')")
             key, val = body.split(":", 1)
+            if key not in STREAM_COMMANDS:
+                raise ValueError(
+                    f"unknown stream command {key!r} "
+                    f"(known: {', '.join(STREAM_COMMANDS)})")
+            if buf:
+                out.append(("text", "".join(buf)))
+                buf = []
             out.append((key, val.strip()))
             i = k + 1
+        elif c == "]" and text[i + 1:i + 2] == "]":
+            buf.append("]")
+            i += 2
         else:
-            out.append(("text", text[i:j + 1]))
-            i = j + 1
-    return [(k, v) for k, v in out if v or k != "text"]
+            buf.append(c)
+            i += 1
+    if buf:
+        out.append(("text", "".join(buf)))
+    return out
 
 
 def _bucket(n: int) -> int:
@@ -263,6 +294,11 @@ class StreamSession:
             [pitch:150]   center frequency in Hz for subsequent text
             [rate:1.5]    speaking rate multiplier
             [voice:name]  switch voice preset (same sample/jitter rates)
+            [lang:name]   switch transcription language / prosody rules
+            [[  /  ]]     literal '[' / ']'
+
+        Malformed or unknown commands raise ValueError (grammar in
+        docs/AUTHORING.md).
         """
         if parse_commands:
             for kind, payload in _parse_commands(text):
@@ -294,6 +330,10 @@ class StreamSession:
             if float(new.sample_rate) != self.sample_rate:
                 raise ValueError("live voice switch requires equal sample rates")
             self.voice = new
+        elif kind == "lang":
+            # pending chars were flushed above under the OLD language; text
+            # after the command transcribes (and intonates) with the new one
+            self.language = get_language(value)
         else:
             raise ValueError(f"unknown stream command {kind!r}")
         # voice/prosody changes must invalidate the pool's upload cache even

@@ -109,9 +109,109 @@ def test_stream_command_parser_edge_cases():
 
     assert _parse_commands("aa[pitch:200]ee") == [
         ("text", "aa"), ("pitch", "200"), ("text", "ee")]
-    # malformed brackets are literal text
-    assert all(k == "text" for k, _ in _parse_commands("a[bad b]c[unclosed"))
+    # escaping: doubled brackets are literal
+    assert _parse_commands("a[[b]]c") == [("text", "a[b]c")]
+    assert _parse_commands("[[lang:x]]") == [("text", "[lang:x]")]
+    # a lone ']' is literal (only '[' opens a command)
+    assert _parse_commands("a]b") == [("text", "a]b")]
     assert _parse_commands("") == []
+    # malformed input is LOUD (silently speaking a typo'd command as text
+    # hides the mistake from the author)
+    for bad in ("a[pitch 200]b", "a[unclosed", "[mystery:1]", "x[:y]z"):
+        with pytest.raises(ValueError):
+            _parse_commands(bad)
+    # colon inside the value is fine
+    assert _parse_commands("[voice:a:b]") == [("voice", "a:b")]
+
+
+def test_stream_command_parser_fuzz():
+    """Random bracket soup must either parse into (kind, value) chunks
+    whose text round-trips, or raise ValueError — never crash or drop
+    characters silently."""
+    import random
+
+    from grail_tpu.runtime.stream import _parse_commands
+
+    rng = random.Random(0)
+    alphabet = "a[]:ex "
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 20)))
+        try:
+            chunks = _parse_commands(s)
+        except ValueError:
+            continue
+        for kind, val in chunks:
+            assert kind in ("text", "pitch", "rate", "voice", "lang")
+            assert isinstance(val, str)
+    # escape round-trip: any text survives if brackets are doubled
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 20)))
+        esc = s.replace("[", "[[").replace("]", "]]")
+        out = _parse_commands(esc)
+        assert "".join(v for k, v in out if k == "text") == s
+        assert all(k == "text" for k, _ in out)
+
+
+def test_stream_lang_command_switches_language():
+    s = StreamSession(voice="plain", language="english")
+    before = s.language
+    s.feed("hello [lang:espanol]hola ", parse_commands=True)
+    s.flush()
+    assert s.language is not before
+    a = s.read(44100 * 2)
+    assert np.isfinite(a).all() and np.max(np.abs(a)) > 0.01
+    with pytest.raises(KeyError):
+        s.feed("[lang:klingon]", parse_commands=True)
+
+
+def test_callback_sink_underrun_accounting():
+    from grail_tpu.runtime.playback import CallbackSink
+
+    sink = CallbackSink(44100, block=100, mode="manual")
+    # idle pulls before any audio: silence, NOT underruns
+    assert (sink.pull() == 0).all() and sink.underruns == 0
+    sink.write(np.ones(250, np.float32))
+    assert (sink.pull() == 1).all()
+    assert (sink.pull() == 1).all()
+    # mid-stream starvation (no end() yet): underrun
+    p = sink.pull()
+    assert (p[:50] == 1).all() and (p[50:] == 0).all()
+    assert sink.underruns == 1
+    # declared end-of-utterance: the partial tail + idle pulls are clean
+    sink.write(np.ones(120, np.float32))
+    sink.end()
+    sink.pull()
+    sink.pull()
+    sink.pull()
+    assert sink.underruns == 1
+    assert sink.stats()["pulls"] == 7
+
+
+def test_callback_sink_paced_plays_realtime():
+    """The mock callback sink drains a pre-written buffer on its deadline
+    schedule with zero underruns (the reference's cpal pull contract,
+    examples/interactive.rs:41-70, headless)."""
+    import time
+
+    from grail_tpu.runtime.playback import CallbackSink
+
+    sink = CallbackSink(44100, block=2048, mode="paced")
+    sink.write(np.zeros(8 * 2048, np.float32))
+    sink.end()
+    t0 = time.monotonic()
+    sink.drain(timeout=5.0)
+    took = time.monotonic() - t0
+    st = sink.close()
+    assert st["underruns"] == 0
+    assert sink.buffered_seconds == 0.0
+    assert took > 0.2     # actually paced (8 blocks x 46 ms), not instant
+
+
+def test_cli_play_uses_mock_sink(tmp_path):
+    from grail_tpu.cli import main
+
+    out = str(tmp_path / "p.wav")
+    assert main(["--play", "-o", out, "ae"]) == 0
 
 
 def test_stream_checkpoint_resume_bit_exact():

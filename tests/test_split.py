@@ -76,3 +76,39 @@ def test_synthesize_batch_autosplit():
     ref = synthesize_batch(["ae", "ea"], backend="xla")
     for a, b in zip(outs, ref):
         assert sample_error_db(a, b) < -55
+
+
+def test_choose_split_cost_model():
+    """The split decision minimizes total lane-samples (incl. WARMUP
+    pre-rolls) against unsplit 128-lane padding (VERDICT r2 #2: B=1 must
+    reach full occupancy for normal utterance lengths)."""
+    from grail_tpu.api import _choose_split
+
+    # B=1, 2 s utterance: 128-way split (4096-sample segments) beats
+    # re-rendering 2 s in each of 128 padded lanes
+    S, T = _choose_split(1, 88200, "fused")
+    assert S == 128 and T == 128 * 4096
+    # tiny utterance: warmup would dominate; unsplit wins
+    assert _choose_split(1, 4096, "fused")[0] == 1
+    # B=64: S=2 fills the tile (the r2-measured win)
+    assert _choose_split(64, 264600, "fused")[0] == 2
+    # full tile already: never split
+    assert _choose_split(128, 264600, "fused")[0] == 1
+    # non-power-of-two batch fills whole tiles via gcd
+    S, _ = _choose_split(3, 264600, "fused")
+    assert (S * 3) % 128 == 0 and S > 1
+    # xla path never splits
+    assert _choose_split(1, 264600, "xla")[0] == 1
+
+
+def test_solo_score_routes_to_production_split_path():
+    """synthesize_score/synthesize on a kernel backend runs the same
+    lane-splitting program as the batch path (B=1), matching the XLA
+    reference core (VERDICT r2 #2)."""
+    from grail_tpu.api import synthesize_score, synthesize_scores, text_to_score
+
+    score = text_to_score("aeae")
+    out = synthesize_scores([score], "generic", backend="pallas")[0]
+    ref = synthesize_score(score, "generic", backend="xla")
+    assert out.shape == ref.shape
+    assert sample_error_db(out, ref) < -60
