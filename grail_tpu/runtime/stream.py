@@ -39,10 +39,17 @@ from ..languages import get_language
 
 
 class _IncrementalLattice:
-    """Value-noise lattices grown on demand (unbounded sessions).
+    """Value-noise lattices grown on demand (unbounded sessions), with a
+    SLIDING window: cells the stream has passed are dropped (see
+    StreamSession._maybe_rebase_jitter), so long-running sessions hold a
+    bounded window instead of an ever-growing array.
 
     Holds the three Lehmer continuation states exactly as the reference's
-    noise generators do (see synth/jitter.py docstring for the layout)."""
+    noise generators do (see synth/jitter.py docstring for the layout);
+    after drop(K) the arrays hold cells [K, K+len) of the absolute stream
+    and ensure() keeps appending the SAME draws the never-dropped stream
+    would contain. `version` keys upload caches (content changes only on
+    append/drop)."""
 
     def __init__(self, seed: int):
         from ..core.rng import NpLehmer
@@ -64,18 +71,41 @@ class _IncrementalLattice:
         self.pitch = np.array([p0, p1], np.float32)
         self.formant = f
         self.amp = a
+        self.version = 0
 
     def ensure(self, cells: int) -> None:
-        while len(self.pitch) < cells:
-            self.pitch = np.append(self.pitch, self._pitch_state.next_f32())
-        while len(self.formant) < cells:
-            row = np.array([self._formant_state.next_f32()
-                            for _ in range(NUM_FORMANTS)], np.float32)
-            self.formant = np.vstack([self.formant, row])
-        while len(self.amp) < cells:
-            row = np.array([self._amp_state.next_f32()
-                            for _ in range(NUM_FORMANTS)], np.float32)
-            self.amp = np.vstack([self.amp, row])
+        from ..core.rng import lehmer_states, np_random_f32_from_state
+
+        grew = False
+        k = cells - len(self.pitch)
+        if k > 0:
+            states = lehmer_states(self._pitch_state.state, k)
+            self.pitch = np.concatenate(
+                [self.pitch, np_random_f32_from_state(states)])
+            self._pitch_state.state = int(states[-1])
+            grew = True
+        for name, st in (("formant", self._formant_state),
+                         ("amp", self._amp_state)):
+            arr = getattr(self, name)
+            k = cells - len(arr)
+            if k > 0:
+                states = lehmer_states(st.state, k * NUM_FORMANTS)
+                rows = np_random_f32_from_state(states).reshape(
+                    k, NUM_FORMANTS)
+                setattr(self, name, np.vstack([arr, rows]))
+                st.state = int(states[-1])
+                grew = True
+        if grew:
+            self.version += 1
+
+    def drop(self, k: int) -> None:
+        """Slide the window: discard the first k cells (already passed)."""
+        if k <= 0:
+            return
+        self.pitch = self.pitch[k:]
+        self.formant = self.formant[k:]
+        self.amp = self.amp[k:]
+        self.version += 1
 
     def window(self) -> JitterLattice:
         return JitterLattice(self.pitch, self.formant, self.amp)
@@ -249,13 +279,23 @@ class StreamSession:
 
     def __init__(self, voice="generic", language="generic", seed: int = 0,
                  block: int = 1024, contour: bool = False,
-                 speaking_rate: float = 1.0):
+                 speaking_rate: float = 1.0, jitter_horizon_s: float = 60.0):
         self.voice: Voice = get_voice(voice) if isinstance(voice, str) else voice
         self.language = get_language(language) if isinstance(language, str) else language
         self.block = int(block)
         self.contour = contour
         self.speaking_rate = speaking_rate
         self.sample_rate = float(self.voice.sample_rate)
+        # jitter window: the lattice bucket is sized once for
+        # `jitter_horizon_s` of stream and the jitter ORIGIN is rebased
+        # (window slide, _maybe_rebase_jitter) whenever the position would
+        # outgrow it — so unbounded sessions keep (a) a bounded lattice,
+        # (b) a FIXED device shape (no mid-serving jit recompiles), and
+        # (c) f32-exact sample positions (raw positions lose integer
+        # precision past 2^24 samples ~ 6.3 min)
+        inc = float(self.voice.jitter_frequency)
+        self._jitter_reserve = _bucket(
+            max(int(jitter_horizon_s * self.sample_rate * inc) + 8, 16))
 
         self._elements: List[PhonemeElem] = []   # always glide-merged
         self._rev = 0                # bumped whenever the rolling score
@@ -488,6 +528,39 @@ class StreamSession:
             self._drift_t0 = np.float32(resid[drop - 1])
             self._rev += 1
 
+    def _jitter_cells(self, blk: int) -> int:
+        """Lattice rows needed for the next `blk` samples; normally the
+        fixed reserve (shape-stable), growing only if a caller reads more
+        than the horizon in one call."""
+        inc = float(self.voice.jitter_frequency)
+        need = int((self._jitter_pos + blk + 1) * inc) + 4
+        if need > self._jitter_reserve:
+            self._jitter_reserve = _bucket(need)
+        return self._jitter_reserve
+
+    def _maybe_rebase_jitter(self, blk: int) -> None:
+        """Slide the jitter window when the next read would outgrow the
+        reserved lattice: drop the K passed cells and subtract
+        D = round(K/inc) samples from the jitter origin. D*inc equals K to
+        within inc/2, so every remaining sample keeps (to f32 rounding and
+        that sub-cell epsilon) its lattice cell and fraction — the jitter
+        stream continues with sub-1e-3-cell phase error, far below the
+        fidelity gates, while sample positions stay small enough for
+        exact f32 arithmetic forever. Deterministic in (jitter_pos, inc),
+        so pooled and solo sessions rebase identically."""
+        inc = float(self.voice.jitter_frequency)
+        need = int((self._jitter_pos + blk + 1) * inc) + 4
+        if need <= self._jitter_reserve:
+            return
+        K = int(np.floor(self._jitter_pos * inc)) - 4
+        if K <= 0:
+            return           # nothing to slide: _jitter_cells grows instead
+        D = int(round(K / inc))
+        self._lattice.ensure(K + 1)   # never drop cells not yet generated
+        self._lattice.drop(K)
+        self._jitter_pos -= D
+        self._rev += 1       # device joffsets/lattices must re-upload
+
     # -- audio -------------------------------------------------------------
 
     def read(self, num_samples: Optional[int] = None) -> np.ndarray:
@@ -528,14 +601,17 @@ class StreamSession:
         blk = self.block
         self._ensure_audio_horizon(blk)
         self._rebase()
+        self._maybe_rebase_jitter(blk)
 
         E = _bucket(len(self._elements))
         score = self._build_score(E)
 
         inc = self.voice.jitter_frequency
-        cells = int(np.floor((self._jitter_pos + blk + 1) * inc)) + 4
-        self._lattice.ensure(_bucket(cells))
-        lattice = self._lattice.window()
+        cells = self._jitter_cells(blk)
+        self._lattice.ensure(cells)
+        lattice = JitterLattice(self._lattice.pitch[:cells],
+                                self._lattice.formant[:cells],
+                                self._lattice.amp[:cells])
 
         jparams = (jnp.float32(inc), jnp.float32(self.voice.jitter_delta_frequency),
                    jnp.float32(self.voice.jitter_delta_formant_frequency),
@@ -614,6 +690,7 @@ class StreamSession:
         self._lattice.pitch = g("lat_pitch")
         self._lattice.formant = g("lat_formant")
         self._lattice.amp = g("lat_amp")
+        self._lattice.version += 1   # restored content invalidates uploads
         st = g("lat_states")
         self._lattice._pitch_state.state = int(st[0])
         self._lattice._formant_state.state = int(st[1])
@@ -644,6 +721,7 @@ class StreamSession:
                 jnp.asarray(arr).at[idx].set(jnp.asarray(v))
                 for arr, v in zip(pool._states, self._state)))
             pool._cache_key = None
+            pool._lat_key = None
 
     @property
     def pending_seconds(self) -> float:
@@ -711,6 +789,8 @@ class StreamPool:
         # and device-advanced offsets — zero host->device transfers
         self._cache_key = None
         self._dev = None
+        self._lat_key = None         # separate lattice upload cache (feeds
+        self._lat_dev = None         # must not re-upload the lattice window)
         self._inflight = None        # depth-2 pipeline: the dispatched-but-
         #                              unfetched tick (see tick_pipelined)
         self._srj = jnp.float32(self.sample_rate)
@@ -726,74 +806,87 @@ class StreamPool:
 
     def _prepare_tick(self, samples=None):
         """Host frontend + (cached) device upload for one tick of `samples`
-        (default one block)."""
+        (default one block).
+
+        Two independent upload caches: scores/offsets (invalidated by any
+        session revision — every feed) and the jitter lattices
+        (invalidated only when a lattice's content changes: first sizing
+        and the rare window slides). A feed therefore re-uploads ~E rows
+        per session, not the multi-MB lattice window."""
         blk = self.block if samples is None else int(samples)
         E = 16
         for s in self.sessions:
             s._ensure_audio_horizon(blk)
             s._rebase()
+            s._maybe_rebase_jitter(blk)
             E = max(E, _bucket(len(s._elements)))
         v0 = self.sessions[0].voice
         inc = float(v0.jitter_frequency)
         cells = 16
         for s in self.sessions:
-            # pure-python floor (positive operand): numpy scalar ops here
-            # cost ~1 us x N sessions per tick
-            need = int((s._jitter_pos + blk + 1) * inc) + 4
-            cells = max(cells, _bucket(need))
+            cells = max(cells, s._jitter_cells(blk))
 
-        key = (E, cells, tuple(s._rev for s in self.sessions),
+        key = (E, tuple(s._rev for s in self.sessions),
                tuple(id(s.voice) for s in self.sessions))
-        if key == self._cache_key:
+        lat_key = (cells, tuple(s._lattice.version for s in self.sessions))
+        if key == self._cache_key and lat_key == self._lat_key:
             return self._dev      # steady state: nothing to upload
 
-        scores = [s._build_score(E) for s in self.sessions]
-        from ..synth.score import stack_scores
+        if lat_key != self._lat_key:
+            for s in self.sessions:
+                s._lattice.ensure(cells)
+            lattices = JitterLattice(
+                np.stack([s._lattice.pitch[:cells] for s in self.sessions]),
+                np.stack([s._lattice.formant[:cells] for s in self.sessions]),
+                np.stack([s._lattice.amp[:cells] for s in self.sessions]),
+            )
+            # versions may have been bumped by ensure() just above
+            self._lat_key = (cells,
+                             tuple(s._lattice.version for s in self.sessions))
+            self._lat_dev = jax.device_put(lattices)
 
-        scores_b = stack_scores(scores)
-        for s in self.sessions:
-            s._lattice.ensure(cells)
-        lattices = JitterLattice(
-            np.stack([s._lattice.pitch[:cells] for s in self.sessions]),
-            np.stack([s._lattice.formant[:cells] for s in self.sessions]),
-            np.stack([s._lattice.amp[:cells] for s in self.sessions]),
-        )
-        # sessions may have switched voices live: per-session jitter deltas
-        # (jitter RATE must stay shared — it fixes the lattice schedule)
-        for s in self.sessions:
-            assert abs(s.voice.jitter_frequency - inc) < 1e-9, \
-                "pooled sessions must share a jitter rate"
-        jparams = (jnp.float32(inc),
-                   jnp.asarray([s.voice.jitter_delta_frequency
-                                for s in self.sessions], jnp.float32),
-                   jnp.asarray([s.voice.jitter_delta_formant_frequency
-                                for s in self.sessions], jnp.float32),
-                   jnp.asarray([s.voice.jitter_delta_amplitude
-                                for s in self.sessions], jnp.float32))
-        offsets = jnp.asarray([s._consumed_samples for s in self.sessions],
-                              jnp.int32)
-        joffsets = jnp.asarray([s._jitter_pos for s in self.sessions],
-                               jnp.int32)
+        if key != self._cache_key or self._dev is None:
+            scores = [s._build_score(E) for s in self.sessions]
+            from ..synth.score import stack_scores
 
-        backend = self.backend
-        if backend.startswith("fused"):
-            from ..synth.kernel_fused import fused_supported
+            scores_b = stack_scores(scores)
+            # sessions may have switched voices live: per-session jitter
+            # deltas (jitter RATE must stay shared — it fixes the lattice
+            # schedule)
+            for s in self.sessions:
+                assert abs(s.voice.jitter_frequency - inc) < 1e-9, \
+                    "pooled sessions must share a jitter rate"
+            jparams = (jnp.float32(inc),
+                       jnp.asarray([s.voice.jitter_delta_frequency
+                                    for s in self.sessions], jnp.float32),
+                       jnp.asarray([s.voice.jitter_delta_formant_frequency
+                                    for s in self.sessions], jnp.float32),
+                       jnp.asarray([s.voice.jitter_delta_amplitude
+                                    for s in self.sessions], jnp.float32))
+            offsets = jnp.asarray([s._consumed_samples
+                                   for s in self.sessions], jnp.int32)
+            joffsets = jnp.asarray([s._jitter_pos for s in self.sessions],
+                                   jnp.int32)
 
-            if not fused_supported(scores_b, self.sample_rate):
-                backend = "xla"   # pathological tick: per-chunk row
-                #                   selection precondition violated.
-                #                   NOTE: a mesh-sharded pool serves such a
-                #                   tick unsharded (correctness preserved;
-                #                   jit reshards the state pytree) — text
-                #                   frontends never produce sub-chunk
-                #                   elements, so this is a non-path in
-                #                   practice
-        dev = dict(scores=jax.device_put(scores_b),
-                   lattices=jax.device_put(lattices), jparams=jparams,
-                   offsets=offsets, joffsets=joffsets, backend=backend)
-        self._dev = dev
-        self._cache_key = key
-        return dev
+            backend = self.backend
+            if backend.startswith("fused"):
+                from ..synth.kernel_fused import fused_supported
+
+                if not fused_supported(scores_b, self.sample_rate):
+                    backend = "xla"   # pathological tick: per-chunk row
+                    #                   selection precondition violated.
+                    #                   NOTE: a mesh-sharded pool serves
+                    #                   such a tick unsharded (correctness
+                    #                   preserved; jit reshards the state
+                    #                   pytree) — text frontends never
+                    #                   produce sub-chunk elements, so this
+                    #                   is a non-path in practice
+            self._dev = dict(scores=jax.device_put(scores_b),
+                             jparams=jparams, offsets=offsets,
+                             joffsets=joffsets, backend=backend)
+            self._cache_key = key
+        self._dev["lattices"] = self._lat_dev
+        return self._dev
 
     def read_block(self, sync: bool = True) -> np.ndarray:
         """Advance every session by one block: returns [N, block] audio.
@@ -917,6 +1010,7 @@ class StreamPool:
             jnp.stack([jnp.asarray(f) for f in fields])
             for fields in zip(*(s._state for s in self.sessions))))
         self._cache_key = None
+        self._lat_key = None
         self._inflight = None
 
 

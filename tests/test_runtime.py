@@ -480,3 +480,26 @@ def test_pool_checkpoint_restore_bit_exact():
                      backend="fused_interpret")
     with pytest.raises(ValueError):
         bad.load(blob)
+
+
+def test_jitter_window_rebase_long_session():
+    """The sliding jitter-lattice window: a session whose jitter origin is
+    rebased several times (tiny horizon) must match a never-rebased
+    session to < -60 dB, with the lattice bucket (and so the jit shapes
+    and device memory) bounded — long-running serving never recompiles or
+    grows (VERDICT r2 #1 precondition)."""
+    def run(horizon):
+        s = StreamSession(voice="plain", language="english", block=1024,
+                          jitter_horizon_s=horizon)
+        s.feed("hello world hello world ")
+        s.flush()
+        out = np.concatenate([s.read() for _ in range(260)])
+        return out, s
+
+    a, sa = run(1.5)      # forces repeated window slides
+    b, sb = run(1000.0)   # never slides
+    assert sa._jitter_pos < sb._jitter_pos   # rebases actually happened
+    assert sa._jitter_reserve <= 64          # bucket stayed put
+    assert np.isfinite(a).all()
+    from grail_tpu.utils import sample_error_db
+    assert sample_error_db(a, b) < -60
