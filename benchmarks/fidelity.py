@@ -21,6 +21,18 @@ def main():
     ap.add_argument("--voice", default="generic",
                     help="voice preset for both oracle and fast paths")
     ap.add_argument("--language", default="generic")
+    ap.add_argument("--contour", action="store_true",
+                    help="gate the contour-intonator frontend: its "
+                         "PhonemeElems go through the oracle's reference "
+                         "DSP chain (oracle_dsp_chain)")
+    ap.add_argument("--rate", type=float, default=0.0,
+                    help="resample rate in Hz (e.g. 22050/48000): both "
+                         "oracle voice spec and fast paths retarget")
+    ap.add_argument("--label", default="",
+                    help="config label recorded in the JSON lines")
+    ap.add_argument("--paths", nargs="*", default=None,
+                    help="subset of paths to run (long-form configs: the "
+                         "oracle is the cost; paths are cheap)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -29,19 +41,34 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(".jax_cache"))
+
+    import dataclasses
 
     from grail_tpu import languages as lang_mod
-    from grail_tpu.api import synthesize, synthesize_batch
-    from grail_tpu.oracle import oracle_pipeline
+    from grail_tpu.api import text_to_phoneme_elems, synthesize, synthesize_batch
+    from grail_tpu.oracle import oracle_dsp_chain
     from grail_tpu.utils import sample_error_db, spectral_error_db
-    from grail_tpu.voices import get_spec
+    from grail_tpu.voices import get_spec, get_voice
 
     spec = get_spec(args.voice)   # registry: works for variants too
     language = lang_mod.get_language(args.language)
+    voice = get_voice(args.voice)
+    rate = args.rate or None
+    if rate and float(rate) != float(spec.sample_rate):
+        spec = dataclasses.replace(spec, sample_rate=float(rate))
+        voice = voice.resampled(float(rate))
 
-    gold = oracle_pipeline(args.text, spec, language)
+    # the production frontend's element stream through the reference DSP
+    # chain — gates stub AND contour intonation, any rate
+    pelems = text_to_phoneme_elems(args.text, voice, language,
+                                   contour=args.contour)
+    gold = oracle_dsp_chain(pelems, spec)
 
-    kw = dict(voice=args.voice, language=args.language)
+    kw = dict(voice=args.voice, language=args.language,
+              contour=args.contour, sample_rate=rate)
     cases = {
         "scan": lambda: synthesize(args.text, use_scan=True, **kw),
         "xla_block": lambda: synthesize(args.text, **kw),
@@ -61,17 +88,29 @@ def main():
                 backend="fused" if args.tpu else "fused_interpret")[0],
     }
     for name, fn in cases.items():
+        if args.paths is not None and name not in args.paths:
+            continue
         audio = fn()
-        print(json.dumps({
+        rec = {
             "bench": "fidelity",
             "path": name,
-            "text": args.text,
+            "text": (args.text if len(args.text) <= 48
+                     else args.text[:45] + "..."),
             "voice": args.voice,
             "language": args.language,
             "spectral_error_db": round(spectral_error_db(audio, gold), 2),
             "sample_error_db": round(sample_error_db(audio, gold), 2),
             "pass_minus60": spectral_error_db(audio, gold) < -60,
-        }), flush=True)
+        }
+        if args.label:
+            rec["config"] = args.label
+        if args.contour:
+            rec["contour"] = True
+        if rate:
+            rec["rate_hz"] = rate
+        if len(gold) > 10 * float(spec.sample_rate):
+            rec["seconds"] = round(len(gold) / float(spec.sample_rate), 1)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -65,31 +65,48 @@ def pool_deadline(args):
             _ = pool.tick_pipelined()
         _ = pool.drain()
 
+        # Timed loop. Schedule: call k fires at t0+k*period, COLLECTS tick
+        # k-1 (whose async device->host copy was started a full period ago
+        # at its dispatch — the transfer latency hides inside the previous
+        # sleep), then dispatches tick k. Tick k-1's audio is due at
+        # target+period (the sink plays it in the window starting there);
+        # a collect completing later is a deadline miss (= underrun).
+        # Non-cascading accounting: after a miss the schedule re-anchors —
+        # a real sink underruns once and resumes, it does not count every
+        # subsequent block as missed for the rest of the run.
         misses = 0
         worst = -1e9
-        pulls = []
+        collects, dispatches = [], []
         t0 = time.perf_counter() + period
-        for k in range(args.ticks):
+        k = 0
+        for _tick in range(args.ticks):
             target = t0 + k * period
             now = time.perf_counter()
             if now < target:
                 time.sleep(target - now)
+            elif now - target > period:       # fell behind: re-anchor
+                t0 += now - target
+                target = now
             if k % 7 == 0:
                 i = int(rng.integers(0, n))
                 pool.feed(i, texts[int(rng.integers(0, len(texts)))])
                 pool.flush(i)
             tp = time.perf_counter()
-            audio = pool.tick_pipelined()       # tick k-1's audio
-            done = time.perf_counter()
-            pulls.append(done - tp)
-            if k >= 1:
+            audio = pool.collect()            # tick k-1's audio
+            avail = time.perf_counter()
+            pool.dispatch_tick()              # tick k (producer work; not
+            dispatches.append(time.perf_counter() - avail)   # on sink path)
+            collects.append(avail - tp)
+            if audio is not None:
                 assert audio.shape == (n, block)
-                late = done - (target + period)  # due before the NEXT call
+                late = avail - (target + period)
                 worst = max(worst, late)
                 if late > 0:
                     misses += 1
+            k += 1
         _ = pool.drain()
-        pulls_ms = np.asarray(pulls[1:]) * 1e3
+        cms = np.asarray(collects[1:]) * 1e3
+        dms = np.asarray(dispatches) * 1e3
         print(json.dumps({
             "bench": "serving_deadline",
             "sessions": n,
@@ -102,9 +119,11 @@ def pool_deadline(args):
             "deadline_misses": misses,
             "miss_rate": round(misses / max(args.ticks - 1, 1), 5),
             "worst_late_ms": round(worst * 1e3, 2),
-            "pull_p50_ms": round(float(np.percentile(pulls_ms, 50)), 2),
-            "pull_p99_ms": round(float(np.percentile(pulls_ms, 99)), 2),
-            "pull_max_ms": round(float(pulls_ms.max()), 2),
+            "collect_p50_ms": round(float(np.percentile(cms, 50)), 2),
+            "collect_p99_ms": round(float(np.percentile(cms, 99)), 2),
+            "collect_max_ms": round(float(cms.max()), 2),
+            "dispatch_p50_ms": round(float(np.percentile(dms, 50)), 2),
+            "dispatch_p99_ms": round(float(np.percentile(dms, 99)), 2),
             "realtime_ok": misses == 0,
         }), flush=True)
 

@@ -40,15 +40,18 @@ def _resolve_language(language) -> Language:
     return get_language(language) if isinstance(language, str) else language
 
 
-def text_to_score(text: str, voice="generic", language="generic",
-                  contour: bool = False, speaking_rate: float = 1.0,
-                  pad_to: Optional[int] = None) -> Score:
-    """Host frontend: transcribe + intonate + select into a device Score.
+def text_to_phoneme_elems(text: str, voice="generic", language="generic",
+                          contour: bool = False, speaking_rate: float = 1.0):
+    """Host frontend through intonation: text -> timed PhonemeElems.
 
     With contour=True the text is segmented into clauses at punctuation and
     each clause is intonated with the language's IntonationRules (question
     rise at '?', statement fall at '.', comma pauses) — the reference's
-    roadmap lookahead intonator (README.md:15, src/lib.rs:1062-1066)."""
+    roadmap lookahead intonator (README.md:15, src/lib.rs:1062-1066).
+
+    Exposed separately from text_to_score so the fidelity harness can feed
+    the EXACT element stream of the production frontend through the
+    oracle's reference DSP chain (oracle_select -> oracle_synthesize)."""
     from .text.intonate import PhonemeElem as _PE, split_clauses
     from .text.phonemes import Phoneme as _P
 
@@ -56,9 +59,8 @@ def text_to_score(text: str, voice="generic", language="generic",
     l = _resolve_language(language)
     if not contour:
         phonemes = transcribe(text, l)
-        pelems = intonate(phonemes, l, v, contour=False,
-                          speaking_rate=speaking_rate)
-        return score_from_phoneme_elems(pelems, v, pad_to=pad_to)
+        return intonate(phonemes, l, v, contour=False,
+                        speaking_rate=speaking_rate)
 
     pelems = []
     rate = max(speaking_rate, 1e-3)
@@ -74,6 +76,17 @@ def text_to_score(text: str, voice="generic", language="generic",
     if not pelems:   # punctuation-only / empty input: one silent element
         pelems = [_PE(_P.SILENCE, 0.12 / rate, 0.06 / rate,
                       v.center_frequency)]
+    return pelems
+
+
+def text_to_score(text: str, voice="generic", language="generic",
+                  contour: bool = False, speaking_rate: float = 1.0,
+                  pad_to: Optional[int] = None) -> Score:
+    """Host frontend: transcribe + intonate + select into a device Score.
+    See text_to_phoneme_elems for the contour semantics."""
+    v = _resolve_voice(voice)
+    pelems = text_to_phoneme_elems(text, v, language, contour=contour,
+                                   speaking_rate=speaking_rate)
     return score_from_phoneme_elems(pelems, v, pad_to=pad_to)
 
 
@@ -365,13 +378,13 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
 
     Same continuation scheme as _synth_jit_split (WARMUP pre-roll re-derives
     filter state; carrier phase and RNG continue EXACTLY), but the phase
-    pre-pass integrates in Q31 — bit-identical to the fused kernel's own
+    pre-pass integrates in Q32 — bit-identical to the fused kernel's own
     int32 fixed-point accumulator, so segment seams are exact. The
     frequency stream here MUST stay arithmetic-identical to the kernel's
     in-VMEM expansion (expand_frequency + masked pitch jitter replicate
     kernel phases A-C for the scalar frequency field).
     """
-    from .synth.kernel_fused import (build_tables, phase_q31_pre_block,
+    from .synth.kernel_fused import (build_tables, phase_q32_pre_block,
                                      synth_fused_pallas)
     from .synth.synthesize import SynthState
 
@@ -384,19 +397,19 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     (g0, seed0, scores_t, lattices_t, (jdf_t, jdff_t, jda_t), g0_lane,
      per_b) = _split_lane_setup(scores, lattices, jdf, jdff, jda, T, S, B)
 
-    # ---- pre-pass: Q31 phase at block boundaries (exact integral of the
+    # ---- pre-pass: Q32 phase at block boundaries (exact integral of the
     # same frequency stream the fused kernel will synthesize)
-    q_at_block = phase_q31_pre_block(scores, lattices, jf, jdf,
+    q_at_block = phase_q32_pre_block(scores, lattices, jf, jdf,
                                      sample_rate, T, blk,
                                      interpret=interpret)       # [nb, B]
 
     q_seg = q_at_block[jnp.maximum(g0, 0) // blk]             # [S, B] uint32
     q_seg = jnp.where((jnp.arange(S) == 0)[:, None], jnp.uint32(0), q_seg)
-    phase_q31 = (q_seg & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    phase_q31 = phase_q31.reshape(S * B)
+    phase_q32 = jax.lax.bitcast_convert_type(q_seg, jnp.int32)
+    phase_q32 = phase_q32.reshape(S * B)
 
     state0 = SynthState(
-        phase=jnp.zeros((S * B,), jnp.float32),  # overridden by phase_q31
+        phase=jnp.zeros((S * B,), jnp.float32),  # overridden by phase_q32
         filter_state_a=jnp.zeros((S * B, 8), jnp.float32),
         filter_state_b=jnp.zeros((S * B, 8), jnp.float32),
         filter_state_c=jnp.zeros((S * B, 8), jnp.float32),
@@ -405,7 +418,7 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     tables = build_tables(scores_t, lattices_t, (jf, jdf_t, jdff_t, jda_t),
                           sample_rate, g0=g0_lane)
     full, _ = synth_fused_pallas(tables, Text, state=state0,
-                                 phase_q31=phase_q31,
+                                 phase_q32=phase_q32,
                                  interpret=interpret)        # [Text, S*B]
     segs = full[W:].T.reshape(S, B, Ts)
     return jnp.moveaxis(segs, 0, 1).reshape(B, T)
@@ -619,6 +632,6 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
 
 
 __all__ = [
-    "text_to_score", "synthesize_score", "synthesize", "synthesize_batch",
-    "synthesize_scores",
+    "text_to_phoneme_elems", "text_to_score", "synthesize_score",
+    "synthesize", "synthesize_batch", "synthesize_scores",
 ]

@@ -494,27 +494,39 @@ def oracle_synthesize(elems) -> np.ndarray:
     return np.array(out, F32)
 
 
-def oracle_pipeline(text: str, spec: VoiceSpec, language, jitter_seed: int = 0,
-                    leading_silence: bool = True) -> np.ndarray:
-    """Full text -> samples chain matching examples/cli.rs:175-184.
+def oracle_dsp_chain(pelems, spec: VoiceSpec, jitter_seed: int = 0) -> np.ndarray:
+    """Reference DSP chain downstream of intonation: timed PhonemeElems ->
+    samples (select -> sequence -> jitter -> synthesize, the chain of
+    examples/cli.rs:175-184 below the intonator).
 
-    GLIDE markers go through the same frontend merge as the fast path
-    (synth/score.py:merge_glides) — the merge is frontend preprocessing;
-    this oracle supplies the reference DSP semantics downstream of it."""
+    Taking PhonemeElems directly lets the fidelity harness gate frontends
+    the reference never implemented — the contour intonator's prosody
+    (README.md:15) — against the reference's DSP semantics. GLIDE markers
+    go through the same frontend merge as the fast path
+    (synth/score.py:merge_glides): the merge is frontend preprocessing."""
     from ..synth.score import merge_glides
-    from ..text.transcribe import transcribe
 
     voice = NpVoice.from_spec(spec)
-    phonemes = transcribe(text, language, leading_silence=leading_silence)
-    pelems = merge_glides(oracle_intonate(phonemes, voice))
-    seq = oracle_select(pelems, voice)
+    seq = oracle_select(merge_glides(list(pelems)), voice)
     stream = oracle_sequence(seq, float(voice.sample_rate))
     jittered = oracle_jitter(stream, jitter_seed, voice)
     return oracle_synthesize(jittered)
 
 
+def oracle_pipeline(text: str, spec: VoiceSpec, language, jitter_seed: int = 0,
+                    leading_silence: bool = True) -> np.ndarray:
+    """Full text -> samples chain matching examples/cli.rs:175-184."""
+    from ..text.transcribe import transcribe
+
+    voice = NpVoice.from_spec(spec)
+    phonemes = transcribe(text, language, leading_silence=leading_silence)
+    return oracle_dsp_chain(oracle_intonate(phonemes, voice), spec,
+                            jitter_seed=jitter_seed)
+
+
 __all__ = [
     "NpElem", "NpVoice", "NpSequenceElem",
     "oracle_intonate", "oracle_select", "oracle_sequence",
-    "oracle_jitter", "oracle_synthesize", "oracle_pipeline",
+    "oracle_jitter", "oracle_synthesize", "oracle_dsp_chain",
+    "oracle_pipeline",
 ]

@@ -944,14 +944,37 @@ class StreamPool:
 
     # -- depth-2 pipelined serving ----------------------------------------
 
+    def collect(self):
+        """Fetch the in-flight tick's audio [N, block] (None if nothing is
+        in flight). With the depth-2 schedule the device->host copy was
+        started a full block-period ago (dispatch_tick), so by the sink's
+        deadline the data is normally already host-resident and this
+        returns in microseconds — the tick's transfer latency hides inside
+        the previous period instead of being paid at the deadline."""
+        prev, self._inflight = self._inflight, None
+        return None if prev is None else np.asarray(prev, np.float32)
+
+    def dispatch_tick(self) -> None:
+        """Dispatch the next tick's device program and start its audio's
+        device->host copy asynchronously; collect() returns it. At most
+        one tick is in flight (bounded queue depth 2): dispatching with a
+        tick still uncollected collects and discards it first."""
+        if self._inflight is not None:
+            self.collect()
+        out = self.read_block(sync=False)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass   # backend without async D2H: np.asarray still works
+        self._inflight = out
+
     def tick_pipelined(self):
-        """One serving tick with a depth-2 pipeline: dispatches THIS tick's
-        device program, starts its device->host copy asynchronously, and
-        returns the PREVIOUS tick's audio [N, block] — so the fetch of tick
-        k drains while tick k+1 computes. Bounded queue depth 2 (one tick
-        in flight), exactly one extra block of sink latency vs a
-        synchronous tick; no read-ahead (each tick's text can still be fed
-        right up to its dispatch).
+        """One serving tick with a depth-2 pipeline: collects the PREVIOUS
+        tick's audio [N, block] (fetch first — its async copy has had a
+        whole period to drain), then dispatches this tick's program.
+        Bounded queue depth 2, exactly one extra block of sink latency vs
+        a synchronous tick; no read-ahead (each tick's text can still be
+        fed right up to its dispatch).
 
         Returns None on the first call (nothing in flight yet); call
         drain() at end-of-stream for the final block. This is the serving
@@ -959,18 +982,13 @@ class StreamPool:
         pull contract, examples/interactive.rs:41-70) on hardware where a
         synchronous dispatch+fetch exceeds the block budget.
         """
-        out = self.read_block(sync=False)
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass   # backend without async D2H: np.asarray below still works
-        prev, self._inflight = getattr(self, "_inflight", None), out
-        return None if prev is None else np.asarray(prev, np.float32)
+        audio = self.collect()
+        self.dispatch_tick()
+        return audio
 
     def drain(self):
         """Fetch the last in-flight pipelined tick (None if none)."""
-        prev, self._inflight = getattr(self, "_inflight", None), None
-        return None if prev is None else np.asarray(prev, np.float32)
+        return self.collect()
 
     # -- pool-level checkpoint / restore -----------------------------------
     #

@@ -2,7 +2,7 @@
 
 The fused kernel runs score expansion + jitter + DSP in one Pallas program
 (interpret mode here). Its only intended numerical divergence from the XLA
-associative-scan path is the carrier phase accumulator: Q31 int32 fixed
+associative-scan path is the carrier phase accumulator: Q32 wrapping-int32 fixed
 point instead of Q32 uint32 — a 2^-32/sample quantization, far below the
 -60 dB budget.
 """

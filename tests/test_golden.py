@@ -57,3 +57,22 @@ def test_fidelity_covers_all_phoneme_classes():
         assert len(gold) == len(got), (text, len(gold), len(got))
         err = spectral_error_db(got, gold)
         assert err < -60, (lname, text, err)
+
+
+def test_contour_frontend_vs_oracle_dsp():
+    """Contour-intonation gate (VERDICT r2 weak #5): the contour
+    frontend's PhonemeElems rendered by the production path must match the
+    reference DSP chain (oracle_dsp_chain) on the same elements to
+    < -60 dB — prosody was previously unit-tested but never gated
+    end-to-end against reference semantics."""
+    from grail_tpu.api import synthesize, text_to_phoneme_elems
+    from grail_tpu.oracle import oracle_dsp_chain
+    from grail_tpu.voices import get_spec
+
+    text = "hi there?"
+    pelems = text_to_phoneme_elems(text, "plain", "english", contour=True)
+    gold = oracle_dsp_chain(pelems, get_spec("plain"))
+    audio = synthesize(text, voice="plain", language="english", contour=True)
+    n = min(len(audio), len(gold))
+    assert abs(len(audio) - len(gold)) <= 1
+    assert spectral_error_db(audio[:n], gold[:n]) < -60
