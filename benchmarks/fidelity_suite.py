@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""FIDELITY_r03 config sweep: runs benchmarks/fidelity.py once per config
+and streams the JSON lines (tee into FIDELITY_r03.json on TPU).
+
+Corpus (VERDICT r2 weak #5 — contour mode, long-form, resample — plus the
+round-2 parity configs):
+  * the 4 r02 configs (vowel, english, glide-diphthong, deutsch-plosive)
+  * a contour-intonation config (multi-clause, question + statement)
+  * >= 60 s long-form multi-clause texts for all four languages
+  * resample configs at 22050 and 48000 Hz
+
+Long-form and resample configs run the production fused path + the XLA
+reference core (the oracle dominates cost; add --all for every path).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+LONG_EN = ("the quick brown fox jumps over the lazy dog, "
+           "while seventy silver ships sail silently seaward. " * 6
+           + "did you ever hear such a thing? certainly not.")
+LONG_ES = ("el rapido zorro marron salta sobre el perro perezoso, "
+           "mientras setenta barcos de plata navegan en silencio. " * 6
+           + "has oido alguna vez algo asi? claro que no.")
+LONG_DE = ("der schnelle braune fuchs springt ueber den faulen hund, "
+           "waehrend siebzig silberne schiffe stumm seewaerts segeln. " * 6
+           + "hast du so etwas je gehoert? sicher nicht.")
+LONG_FR = ("le rapide renard brun saute par dessus le chien paresseux, "
+           "pendant que septante navires argentes voguent en silence. " * 6
+           + "avez vous deja entendu une telle chose? certainement pas.")
+
+CONFIGS = [
+    # label, extra args, all-paths?
+    ("vowel",    ["--text", "aeae", "--voice", "generic",
+                  "--language", "generic"], True),
+    ("english",  ["--text", "hello", "--voice", "plain",
+                  "--language", "english"], True),
+    ("glide",    ["--text", "say hi", "--voice", "plain",
+                  "--language", "english"], True),
+    ("plosive",  ["--text", "guten tag", "--voice", "plain",
+                  "--language", "deutsch"], True),
+    ("contour",  ["--text", "hello there, how are you today? fine thanks.",
+                  "--voice", "plain", "--language", "english",
+                  "--contour"], True),
+    ("long_en",  ["--text", LONG_EN, "--voice", "plain",
+                  "--language", "english"], False),
+    ("long_es",  ["--text", LONG_ES, "--voice", "plain",
+                  "--language", "espanol"], False),
+    ("long_de",  ["--text", LONG_DE, "--voice", "plain",
+                  "--language", "deutsch"], False),
+    ("long_fr",  ["--text", LONG_FR, "--voice", "plain",
+                  "--language", "francais"], False),
+    ("rate22050", ["--text", "aeae", "--voice", "generic",
+                   "--language", "generic", "--rate", "22050"], False),
+    ("rate48000", ["--text", "hello", "--voice", "plain",
+                   "--language", "english", "--rate", "48000"], False),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="run every path for every config (slow)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of config labels")
+    args = ap.parse_args()
+
+    fast_paths = (["fused", "xla_block"] if args.tpu
+                  else ["fused_interpret", "xla_block"])
+    for label, extra, all_paths in CONFIGS:
+        if args.only and label not in args.only:
+            continue
+        cmd = [sys.executable, os.path.join(HERE, "fidelity.py"),
+               "--label", label] + extra
+        if args.tpu:
+            cmd.append("--tpu")
+        if not (all_paths or args.all):
+            cmd += ["--paths"] + fast_paths
+        r = subprocess.run(cmd, cwd=os.path.dirname(HERE))
+        if r.returncode != 0:
+            print(f'{{"bench": "fidelity", "config": "{label}", '
+                  f'"error": "exit {r.returncode}"}}', flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -274,6 +274,20 @@ def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
                                    interpret)
 
 
+@jax.jit
+def _pcm16(audio):
+    """f32 [-1,1] -> int16 PCM with the WAV encoder's Rust `as i16`
+    semantics (truncate toward zero, saturate, NaN -> 0). Serving pools
+    can emit this directly (StreamPool output='pcm16'): it is the format
+    a sink ships anyway, and it HALVES the device->host audio bandwidth —
+    on a remote-tunnel device link that is the difference between a
+    sustainable and an unsustainable realtime fetch at large N."""
+    x = audio * jnp.float32(32767.0)
+    x = jnp.clip(x, -32768.0, 32767.0)
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    return x.astype(jnp.int16)
+
+
 class StreamSession:
     """Incremental text -> audio session with carried DSP state."""
 
@@ -746,7 +760,10 @@ class StreamPool:
     def __init__(self, n: int, voice="generic", language="generic",
                  block: int = 1024, seeds=None, contour: bool = False,
                  speaking_rate: float = 1.0, backend: Optional[str] = None,
-                 mesh=None):
+                 mesh=None, output: str = "f32"):
+        if output not in ("f32", "pcm16"):
+            raise ValueError(f"output must be 'f32' or 'pcm16', got {output!r}")
+        self.output = output
         seeds = list(seeds) if seeds is not None else list(range(n))
         self.sessions = [
             StreamSession(voice=voice, language=language, seed=seeds[i],
@@ -940,6 +957,9 @@ class StreamPool:
             # state slices are materialized lazily via s._materialize_state
             s._consumed_samples += blk
             s._jitter_pos += blk
+        if self.output == "pcm16":
+            out = _pcm16(out)
+            return np.asarray(out) if sync else out
         return np.asarray(out, np.float32) if sync else out
 
     # -- depth-2 pipelined serving ----------------------------------------
@@ -952,7 +972,10 @@ class StreamPool:
         returns in microseconds — the tick's transfer latency hides inside
         the previous period instead of being paid at the deadline."""
         prev, self._inflight = self._inflight, None
-        return None if prev is None else np.asarray(prev, np.float32)
+        if prev is None:
+            return None
+        return (np.asarray(prev) if self.output == "pcm16"
+                else np.asarray(prev, np.float32))
 
     def dispatch_tick(self) -> None:
         """Dispatch the next tick's device program and start its audio's

@@ -108,26 +108,50 @@ def _lengths_hitting_boundaries(n_ref: np.ndarray,
     Targets the middle of each sample bin, then nudges by ulps where f32
     cumsum rounding slips a bin (sub-sample adjustments: <23 us at 44.1k)."""
     sr = np.float32(sample_rate)
-    C_t = (n_ref.astype(np.float64) + 0.5) / float(sample_rate)
     out = np.empty(len(n_ref), np.float32)
     c = np.float32(0.0)
+    warned = False
     for i in range(len(n_ref)):
-        l = np.float32(C_t[i] - float(c))
-        for _ in range(6):
-            nc = np.float32(c + l)
+        n = int(n_ref[i])
+        target = (n + 0.5) / float(sample_rate)
+        # pick the f32 CUMULATIVE time nc with floor(nc*sr) == n, stepping
+        # at nc's own ulp — correcting the element LENGTH by its (much
+        # smaller) ulp stalls once the cumulative time is large, which is
+        # exactly when long rolling scores / long-form texts need this
+        nc = np.float32(target)
+        for _ in range(8):
             b = int(np.floor(nc * sr))
-            if b == n_ref[i]:
+            if b == n:
                 break
-            l = np.nextafter(l, np.float32(np.inf if b < n_ref[i]
-                                           else -np.inf), dtype=np.float32)
+            nc = np.nextafter(nc, np.float32(np.inf if b < n else -np.inf),
+                              dtype=np.float32)
+        # then the length that lands the f32 cumsum exactly on nc
+        l = np.float32(np.float64(nc) - np.float64(c))
+        for _ in range(8):
+            got = np.float32(c + l)
+            if got == nc:
+                break
+            l = np.float32(np.float64(l)
+                           + (np.float64(nc) - np.float64(got)))
         c = np.float32(c + l)
-        # a convergence failure here would silently desynchronize EVERY
-        # later boundary from the reference countdown (the bit-alignment
-        # this machinery exists for) — fail loudly instead
-        if int(np.floor(c * sr)) != n_ref[i]:
-            raise RuntimeError(
-                f"boundary retarget failed to converge at element {i}: "
-                f"floor(cumsum*sr)={int(np.floor(c * sr))} != n_ref={n_ref[i]}")
+        b = int(np.floor(c * sr))
+        if b != n:
+            # Unreachable boundary: past ~190 s of cumulative f32 time the
+            # f32 grid is coarser than one sample bin, so SOME boundaries
+            # have no representable cumsum (nothing any retarget can do).
+            # Desynchronizing silently would defeat the bit-alignment this
+            # machinery exists for, but crashing would kill a live serving
+            # session over a sub-sample, minutes-out boundary — warn loudly
+            # once and carry the closest representable boundary.
+            if not warned:
+                import warnings
+
+                warnings.warn(
+                    f"boundary retarget off by {b - n} sample(s) at element "
+                    f"{i} (cumulative {float(c):.1f}s: f32 grid coarser "
+                    "than the sample bin); carrying closest boundary",
+                    RuntimeWarning, stacklevel=2)
+                warned = True
         out[i] = l
     return out
 

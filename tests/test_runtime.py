@@ -503,3 +503,26 @@ def test_jitter_window_rebase_long_session():
     assert np.isfinite(a).all()
     from grail_tpu.utils import sample_error_db
     assert sample_error_db(a, b) < -60
+
+
+def test_pool_pcm16_output_matches_f32():
+    """output='pcm16' pools emit int16 PCM with the WAV encoder's Rust
+    `as i16` semantics, matching the f32 pool's audio converted host-side
+    (halves device->host serving bandwidth)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    def mk(output):
+        pool = StreamPool(2, voice="plain", language="english", block=1024,
+                          backend="fused_interpret", output=output)
+        pool.feed(0, "hello ")
+        pool.flush(0)
+        return np.concatenate([pool.read_block() for _ in range(6)], axis=1)
+
+    a16 = mk("pcm16")
+    a32 = mk("f32")
+    assert a16.dtype == np.int16
+    expect = np.clip(a32 * 32767.0, -32768, 32767)
+    expect = np.where(np.isnan(expect), 0, expect).astype(np.int16)
+    np.testing.assert_array_equal(a16, expect)
+    with pytest.raises(ValueError):
+        StreamPool(1, output="wat")
