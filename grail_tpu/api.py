@@ -254,19 +254,26 @@ def _split_lane_setup(scores, lattices, jdf, jdff, jda, T: int, S: int,
     of scores/lattices/per-lane jitter deltas. One implementation so the
     two paths can never desynchronize on the continuation math."""
     from .core.constants import LEHMER_A
-    from .core.rng import lehmer_affine
+    from .core.rng import lehmer_skip
 
     Ts = T // S
     W = WARMUP
     per_b = jnp.ndim(jdf) > 0
     seg_ids = jnp.arange(S)
     g0 = seg_ids * Ts - W                                    # [S]
-    powA, Sv = lehmer_affine(T)
-    seed_pos = jnp.asarray(Sv, jnp.uint32)[jnp.maximum(g0, 0)]
+    # per-segment Lehmer continuation seeds, computed HOST-side in
+    # O(S log T) scalar skip-aheads (S, Ts, W are jit-static).
+    # lehmer_affine(T) here would embed length-T uint32 constants in the
+    # traced graph — 63 MB of MLIR at a 60 s utterance, which the TPU
+    # compiler rejects. Segment 0's pre-roll seed is the NEGATIVE skip
+    # that lands exactly on state 0 at the first real sample.
     a_inv_w = pow(LEHMER_A, -W, 1 << 32)
-    s_w = int(Sv[W])
-    seed_neg = jnp.uint32((-(a_inv_w * s_w)) & 0xFFFFFFFF)
-    seed0 = jnp.where(seg_ids == 0, seed_neg, seed_pos)      # [S]
+    s_w = lehmer_skip(W)[1]
+    seed_neg = (-(a_inv_w * s_w)) & 0xFFFFFFFF
+    seeds_np = np.array(
+        [seed_neg] + [lehmer_skip(s * Ts - W)[1] for s in range(1, S)],
+        np.uint32)
+    seed0 = jnp.asarray(seeds_np)                            # [S]
     seed0 = jnp.broadcast_to(seed0[:, None], (S, B)).reshape(S * B)
 
     def tile(x):

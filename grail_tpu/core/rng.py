@@ -133,6 +133,7 @@ def device_lehmer_states(seed, n: int):
 
 __all__ = [
     "lehmer_affine",
+    "lehmer_skip",
     "lehmer_states",
     "np_random_f32_from_state",
     "np_lehmer_draws",
@@ -140,3 +141,22 @@ __all__ = [
     "random_f32_from_state",
     "device_lehmer_states",
 ]
+
+
+def lehmer_skip(p: int):
+    """(A^p mod 2^32, S_p mod 2^32) for ONE skip distance, as host ints in
+    O(log p) affine exponentiation — the scalar twin of lehmer_affine.
+    lehmer_affine materializes length-n arrays; traced at multi-million-
+    sample T those become megabytes of literal constants in the jit graph
+    (a 60 s utterance produced a 63 MB MLIR module the remote TPU compiler
+    rejected). Split-path segment seeds only need a handful of positions."""
+    M = 0xFFFFFFFF
+    a, b = LEHMER_A, 1          # one step: x -> A*x + 1
+    ra, rb = 1, 0               # identity
+    p = int(p)
+    while p:
+        if p & 1:
+            ra, rb = (a * ra) & M, (a * rb + b) & M
+        a, b = (a * a) & M, (a * b + b) & M
+        p >>= 1
+    return ra, rb

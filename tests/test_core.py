@@ -85,3 +85,15 @@ def test_exp_approx_matches_reference_formula():
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
     true = np.exp(-2 * np.pi * x.astype(np.float64))
     assert np.max(np.abs(ours - true)) < 0.06
+
+
+def test_lehmer_skip_matches_affine_tables():
+    """Scalar O(log p) skip-ahead == the doubling-table construction (the
+    split path uses the scalar form so multi-minute utterances don't embed
+    length-T constants in the jit graph)."""
+    from grail_tpu.core.rng import lehmer_affine, lehmer_skip
+
+    powA, S = lehmer_affine(5000)
+    for p in [0, 1, 2, 3, 17, 128, 4096, 4999]:
+        a, b = lehmer_skip(p)
+        assert a == int(powA[p]) and b == int(S[p]), p
