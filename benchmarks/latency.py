@@ -97,6 +97,14 @@ def pool_deadline(args):
             inq = _queue.Queue()
         avails = {}
 
+        # The tunnel's fetch RTT (~30 ms) exceeds the 23 ms block period, so
+        # ONE serialized fetcher can never sustain realtime regardless of
+        # pipeline depth. The depth-2 window is 2 periods, so the sink runs
+        # `--sink-workers` (default 2) concurrent in-order fetchers — the
+        # number of fetches in flight is bounded by the worker count, which
+        # keeps the queue-depth/latency contract: tick k's audio still lands
+        # within the same 2-period window, the RTTs just overlap. (A
+        # local-attached runtime fetches in microseconds and needs one.)
         def sink_loop():
             while True:
                 item = inq.get()
@@ -106,10 +114,16 @@ def pool_deadline(args):
                 a = np.asarray(dev)
                 avails[kk] = time.perf_counter()
                 assert a.shape == (n, block)
+                with inflight_lock:
+                    inflight[0] -= 1
 
         if use_thread:
-            th = threading.Thread(target=sink_loop, daemon=True)
-            th.start()
+            inflight = [0]
+            inflight_lock = threading.Lock()
+            workers = [threading.Thread(target=sink_loop, daemon=True)
+                       for _ in range(args.sink_workers)]
+            for th in workers:
+                th.start()
 
         import gc
 
@@ -145,8 +159,10 @@ def pool_deadline(args):
                 except (AttributeError, NotImplementedError):
                     pass
                 dispatches.append(time.perf_counter() - td)
+                with inflight_lock:
+                    inflight[0] += 1
+                    max_outstanding = max(max_outstanding, inflight[0])
                 inq.put((k, out))
-                max_outstanding = max(max_outstanding, inq.qsize() + 1)
             else:
                 # depth-2 in-loop: collect tick k-1 (its copy had a full
                 # period to drain), then dispatch tick k
@@ -156,8 +172,10 @@ def pool_deadline(args):
                 pool.dispatch_tick()
                 dispatches.append(time.perf_counter() - td)
         if use_thread:
-            inq.put(None)
-            th.join(timeout=120)
+            for _ in workers:
+                inq.put(None)
+            for th in workers:
+                th.join(timeout=120)
         else:
             audio = pool.drain()
             if audio is not None:
@@ -211,6 +229,10 @@ def main():
     ap.add_argument("--pool-blocks", type=int, nargs="*",
                     default=[1024, 2048, 4096])
     ap.add_argument("--ticks", type=int, default=2000)
+    ap.add_argument("--sink-workers", type=int, default=2,
+                    help="concurrent sink fetchers (TPU tunnel: the ~30 ms "
+                         "fetch RTT must overlap to sustain a <30 ms period; "
+                         "bounded by the depth-2 window = 2 periods)")
     args = ap.parse_args()
 
     if not args.tpu:

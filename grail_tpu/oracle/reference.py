@@ -33,6 +33,27 @@ from ..voices.voice import VoiceSpec
 
 F32 = np.float32
 _ONE = F32(1.0)
+
+
+def _rust_min(x: np.float32, y: np.float32) -> np.float32:
+    """Rust f32::min: returns the OTHER operand when one is NaN (IEEE-754
+    minNum), unlike Python's min (propagates a NaN first argument). The
+    zero-blend corner relies on this: alpha = (0.0/0.0).min(1.0) = 1.0 in
+    the reference (src/lib.rs:899), i.e. an exact-grid boundary hit still
+    HOLDS the current element."""
+    if np.isnan(x):
+        return F32(y)
+    if np.isnan(y):
+        return F32(x)
+    return F32(min(x, y))
+
+
+def _alpha(time: np.float32, blend_length: np.float32) -> np.float32:
+    """(time / blend_length).min(1.0) with Rust min semantics; division by
+    zero intentionally produces inf/NaN exactly as the reference does."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = F32(time / blend_length)
+    return _rust_min(q, _ONE)
 _HALF = F32(0.5)
 
 
@@ -255,13 +276,13 @@ def oracle_sequence(seq: Sequence[NpSequenceElem], sample_rate: float):
         c = next_elem.elem if next_elem is not None else None
 
         if a is not None and b is not None and c is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield c.blend(b, alpha)
         elif a is not None and b is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield b.copy_silent().blend(b, alpha)
         elif a is not None and c is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield c.blend(c.copy_silent(), alpha)
         elif a is not None:
             yield NpElem.silent()
@@ -306,13 +327,13 @@ def oracle_sequence_exact(seq: Sequence[NpSequenceElem], sample_rate: float):
         time = F32(C[j] - F32(F32(k1) * dt))
 
         if b is not None and c is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield c.blend(b, alpha)
         elif b is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield b.copy_silent().blend(b, alpha)
         elif c is not None:
-            alpha = F32(min(F32(time / a.blend_length), _ONE))
+            alpha = _alpha(time, a.blend_length)
             yield c.blend(c.copy_silent(), alpha)
         else:
             yield NpElem.silent()

@@ -102,12 +102,35 @@ def _reference_boundary_samples(lengths, sample_rate: float,
 
 
 def _lengths_hitting_boundaries(n_ref: np.ndarray,
-                                sample_rate: float) -> np.ndarray:
+                                sample_rate: float,
+                                zero_blend: np.ndarray | None = None,
+                                ) -> np.ndarray:
     """Element lengths (f32) whose f32 cumsum floors to exactly n_ref.
 
     Targets the middle of each sample bin, then nudges by ulps where f32
-    cumsum rounding slips a bin (sub-sample adjustments: <23 us at 44.1k)."""
+    cumsum rounding slips a bin (sub-sample adjustments: <23 us at 44.1k).
+
+    `zero_blend[i]` marks elements authored with blend_length == 0. The
+    reference computes alpha = (time/0).min(1): +inf -> 1 for time > 0, and
+    at a sample where time == 0.0 EXACTLY, 0/0 = NaN and Rust's
+    f32::min(NaN, 1) returns 1 — so a zero-blend element holds its
+    parameters at EVERY sample, including an exact-grid boundary hit
+    (src/lib.rs:899 + Rust f32::min NaN semantics). Our device paths use a
+    tiny positive epsilon instead of 0 (min(t/eps, 1) — no inf/NaN inside
+    jit), which is identical for t > 0 but yields alpha = 0 at t == 0. So
+    for zero-blend elements we additionally nudge the cumulative time OFF
+    the device's f32 sample grid (c != f32(f32(k)*dt) for every in-element
+    sample k), guaranteeing t > 0 on device — the epsilon path then
+    reproduces the reference's NaN->hold exactly, at zero device cost."""
     sr = np.float32(sample_rate)
+    dt = np.float32(np.float32(1.0) / sr)   # the device's step (sequencer.py)
+
+    def grid_hit(c: np.float32, n: int) -> bool:
+        # does any in-element sample k (selection index still this element
+        # at k <= n) satisfy the device's s_k == c exactly?
+        return any(np.float32(np.float32(k) * dt) == c
+                   for k in range(max(1, n - 3), n + 1))
+
     out = np.empty(len(n_ref), np.float32)
     c = np.float32(0.0)
     warned = False
@@ -125,6 +148,26 @@ def _lengths_hitting_boundaries(n_ref: np.ndarray,
                 break
             nc = np.nextafter(nc, np.float32(np.inf if b < n else -np.inf),
                               dtype=np.float32)
+        if zero_blend is not None and zero_blend[i]:
+            # avoid the exact device grid: prefer nudging up (keeps t > 0
+            # at sample n); fall back to down if up would slip the bin. If
+            # the bin holds ONLY the grid value (f32 ulp ~ bin width,
+            # cumulative time ~95-190 s), keep it: boundary exactness
+            # outranks the sub-sample alpha corner, which is then genuinely
+            # unrepresentable (the reference itself sits on that grid).
+            for _ in range(8):
+                if not grid_hit(nc, n):
+                    break
+                up = np.nextafter(nc, np.float32(np.inf), dtype=np.float32)
+                if int(np.floor(up * sr)) == n:
+                    nc = up
+                    continue
+                down = np.nextafter(nc, np.float32(-np.inf),
+                                    dtype=np.float32)
+                if int(np.floor(down * sr)) == n:
+                    nc = down
+                    continue
+                break
         # then the length that lands the f32 cumsum exactly on nc
         l = np.float32(np.float64(nc) - np.float64(c))
         for _ in range(8):
@@ -230,7 +273,9 @@ def score_from_phoneme_elems(
                 float(voice.sample_rate), t0=drift_t0)
         assert len(n_ref) == E, "n_ref must cover the glide-merged elements"
         adj_lengths = _lengths_hitting_boundaries(
-            n_ref, float(voice.sample_rate))
+            n_ref, float(voice.sample_rate),
+            zero_blend=np.asarray(
+                [pe.blend_length == 0 for pe in phoneme_elems]))
 
     for i, pe in enumerate(phoneme_elems):
         p = int(pe.phoneme)
@@ -240,15 +285,13 @@ def score_from_phoneme_elems(
         freq[i] = min(np.float32(pe.frequency), np.float32(0.5))
         length[i] = adj_lengths[i]
         # blend_length 0 means "no crossfade, hold until the boundary"
-        # (reference: time/0 = inf -> alpha clamps to 1); a tiny epsilon
-        # keeps alpha = min(t/eps, 1) = 1 without inf/NaN on device.
-        # Known one-sample divergence: at a sample where t == 0.0 EXACTLY
-        # (boundary landing on an integer sample), the reference computes
-        # 0/0 = NaN and Rust f32::min(NaN, 1) = 1 (holds current), while
-        # 0/eps = 0 selects the next element one sample early. Only
-        # reachable with author-supplied zero blend lengths at rates where
-        # boundaries are exact; kept as-is because matching would need a
-        # NaN-semantics case in every expansion path (XLA + both kernels)
+        # (reference: time/0 = inf -> alpha clamps to 1, and at time == 0.0
+        # exactly, 0/0 = NaN with Rust f32::min(NaN, 1) = 1 — still hold).
+        # A tiny epsilon keeps alpha = min(t/eps, 1) = 1 without inf/NaN on
+        # device; t == 0 can never occur because the boundary retarget
+        # steers zero-blend elements' cumulative time off the device's f32
+        # sample grid (see _lengths_hitting_boundaries), so the epsilon
+        # path reproduces the reference's NaN->hold exactly.
         blend[i] = pe.blend_length if pe.blend_length > 0 else 1e-12
 
     # pure numpy on the host path: no eager device ops, no per-call compiles

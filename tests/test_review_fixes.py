@@ -122,3 +122,97 @@ def test_native_python_transcriber_utf8_parity():
         for text in ("straße grün", "¿qué chica?", "日本語 🎵 ñ", "¿¡aä!?"):
             assert rs.transcribe(text) == list(transcribe_chars(text, lang)), \
                 (lname, text)
+
+
+def test_zero_blend_exact_grid_hit_holds_current():
+    """The reference's zero-blend NaN corner (src/lib.rs:899): at a sample
+    where time == 0.0 EXACTLY, alpha = (0/0).min(1) and Rust f32::min(NaN, 1)
+    = 1 — the CURRENT element is held, it does not switch one sample early.
+    A one-sample element of length exactly 1/sr pins the corner: the oracle
+    countdown lands time == 0.0 on its entry sample."""
+    import jax
+
+    from grail_tpu.oracle import reference as orc
+    from grail_tpu.synth.score import score_from_phoneme_elems
+    from grail_tpu.synth.sequencer import expand_score
+    from grail_tpu.text.intonate import PhonemeElem
+    from grail_tpu.voices import get_voice
+    from grail_tpu.voices.preset_generic import SPEC
+
+    sr = 44100.0
+    dt = float(np.float32(np.float32(1.0) / np.float32(sr)))
+    v = get_voice("generic")
+    nv = orc.NpVoice.from_spec(SPEC)
+    pel = [PhonemeElem(Phoneme.A, dt, 0.0, v.center_frequency),
+           PhonemeElem(Phoneme.E, 0.05, 0.0, v.center_frequency)]
+
+    seq = orc.oracle_select(pel, nv)
+    gold = list(orc.oracle_sequence(seq, sr))
+    a_row = nv.get(Phoneme.A).formant_freq
+    # pre-fix this sample was all-NaN (Python min propagates NaN)
+    assert np.all(np.isfinite(gold[0].formant_freq))
+    np.testing.assert_array_equal(gold[0].formant_freq, a_row)
+
+    score = score_from_phoneme_elems(pel, v)
+    elems, valid = jax.jit(lambda s: expand_score(s, sr, 4096))(score)
+    N = int(np.asarray(valid).sum())
+    assert N == len(gold)
+    got = np.asarray(elems.formant_freq)[:N]
+    goldf = np.stack([g.formant_freq for g in gold])
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, goldf, atol=1e-6)
+
+
+def test_rust_min_nan_semantics():
+    from grail_tpu.oracle.reference import _rust_min
+
+    nan = np.float32("nan")
+    assert _rust_min(nan, np.float32(1.0)) == np.float32(1.0)
+    assert _rust_min(np.float32(2.0), nan) == np.float32(2.0)
+    assert _rust_min(np.float32(3.0), np.float32(1.0)) == np.float32(1.0)
+
+
+def test_zero_blend_boundary_avoids_device_grid():
+    """score.py steers zero-blend elements' cumulative f32 time OFF the
+    device sample grid (c != f32(f32(k)*dt)) so t > 0 at every in-element
+    sample and min(t/eps, 1) = 1 reproduces the reference's NaN->hold with
+    zero device cost. Hunt a cumulative time where the mid-bin target DOES
+    collide (f32 ulp > half a sample bin: ~95..190 s) and check the nudge."""
+    from grail_tpu.synth.score import _lengths_hitting_boundaries
+
+    sr32 = np.float32(44100.0)
+    dt = np.float32(np.float32(1.0) / sr32)
+
+    def hit(c, n):
+        return any(np.float32(np.float32(k) * dt) == c
+                   for k in range(max(1, n - 3), n + 1))
+
+    found = resolved = 0
+    for n in range(5_000_000, 8_300_000, 997):
+        plain = _lengths_hitting_boundaries(np.asarray([n]), 44100.0)
+        c = np.float32(plain[0])          # single element: cumsum == length
+        if int(np.floor(c * sr32)) != n or not hit(c, n):
+            continue
+        found += 1
+        fixed = _lengths_hitting_boundaries(
+            np.asarray([n]), 44100.0, zero_blend=np.asarray([True]))
+        cf = np.float32(fixed[0])
+        # boundary exactness ALWAYS wins
+        assert int(np.floor(cf * sr32)) == n, n
+        up = np.nextafter(c, np.float32(np.inf), dtype=np.float32)
+        down = np.nextafter(c, np.float32(-np.inf), dtype=np.float32)
+        alternative = (int(np.floor(up * sr32)) == n
+                       or int(np.floor(down * sr32)) == n)
+        if alternative:
+            # another representable value exists in the bin: must be used
+            assert not hit(cf, n), n
+            resolved += 1
+        else:
+            # the bin holds ONLY the grid value (f32 ulp ~ bin width):
+            # the corner is unrepresentable; boundary must be untouched
+            assert cf == c, n
+        if found >= 12:
+            break
+    assert found, "no colliding boundary found in the scanned range"
+    del resolved  # collisions in >=2-value bins can't arise from mid-bin
+    #              targeting; the nudge branch is defense-in-depth
