@@ -71,7 +71,10 @@ def main():
               contour=args.contour, sample_rate=rate)
     cases = {
         "scan": lambda: synthesize(args.text, use_scan=True, **kw),
-        "xla_block": lambda: synthesize(args.text, **kw),
+        # pinned: the XLA associative-scan block core (synthesize() without
+        # a backend now routes to the fused split path on TPU — VERDICT r2
+        # weak #2 — so the xla row must ask for it explicitly)
+        "xla_block": lambda: synthesize(args.text, backend="xla", **kw),
         "pallas" if args.tpu else "pallas_interpret":
             lambda: synthesize_batch(
                 [args.text], **kw,
@@ -87,6 +90,10 @@ def main():
                 [args.text] * 128, seeds=[0] * 128, **kw,
                 backend="fused" if args.tpu else "fused_interpret")[0],
     }
+    if args.tpu:
+        # what a plain synthesize()/CLI call actually runs on TPU (the
+        # production default: fused kernel, B=1 overlap-save lane split)
+        cases["solo_default"] = lambda: synthesize(args.text, **kw)
     for name, fn in cases.items():
         if args.paths is not None and name not in args.paths:
             continue

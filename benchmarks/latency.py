@@ -56,7 +56,8 @@ def pool_deadline(args):
         period = block / sr
         pool = StreamPool(n, voice="plain", language="english", block=block,
                           backend=backend,
-                          output="pcm16" if args.tpu else "f32")
+                          output="pcm16" if args.tpu else "f32",
+                          pin_elems=args.pin_elems)
         # live-feed cadence sized so injected audio (~6 s per feed) stays
         # within the pool's realtime capacity — overfeeding just measures
         # backlog growth, not serving
@@ -229,6 +230,10 @@ def main():
     ap.add_argument("--pool-blocks", type=int, nargs="*",
                     default=[1024, 2048, 4096])
     ap.add_argument("--ticks", type=int, default=2000)
+    ap.add_argument("--pin-elems", type=int, default=64,
+                    help="pin the pool's element bucket (jit-shape "
+                         "stability: a mid-serving E-bucket change is a "
+                         "multi-second recompile stall)")
     ap.add_argument("--sink-workers", type=int, default=2,
                     help="concurrent sink fetchers (TPU tunnel: the ~30 ms "
                          "fetch RTT must overlap to sustain a <30 ms period; "

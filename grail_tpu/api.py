@@ -474,16 +474,20 @@ def synthesize_score(score: Score, voice, seed: int = 0,
 def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
                contour: bool = False, speaking_rate: float = 1.0,
                sample_rate: Optional[float] = None,
-               use_scan: bool = False) -> np.ndarray:
+               use_scan: bool = False,
+               backend: Optional[str] = None) -> np.ndarray:
     """Text -> float32 waveform (the reference CLI chain, single utterance).
 
     A non-default sample_rate retargets the voice first (the reference's
-    resampling capability, src/lib.rs:20-21 + SynthesisElem::resample)."""
+    resampling capability, src/lib.rs:20-21 + SynthesisElem::resample).
+    `backend` pins a specific compute path (see synthesize_score); None =
+    the production default for the platform."""
     v = _resolve_voice(voice)
     if sample_rate and float(sample_rate) != float(v.sample_rate):
         v = v.resampled(float(sample_rate))
     score = text_to_score(text, v, language, contour=contour, speaking_rate=speaking_rate)
-    return synthesize_score(score, v, seed=seed, use_scan=use_scan)
+    return synthesize_score(score, v, seed=seed, use_scan=use_scan,
+                            backend=backend)
 
 
 def default_backend() -> str:

@@ -221,7 +221,8 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
 def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
                             sample_rate, offsets, joffsets,
                             states: SynthState,
-                            block: int, interpret: bool = False):
+                            block: int, interpret: bool = False,
+                            lat_window=None):
     """One pool tick on the fully-fused kernel: per-session score offsets go
     in as per-lane g0, absolute jitter positions as g0_jitter. N is
     lane-padded (the kernel runs whole 128-lane tiles); padding lanes
@@ -257,7 +258,8 @@ def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
           padn(jda) if per else jda)
     tables = build_tables(jax.tree.map(padn, scores),
                           jax.tree.map(padn, lattices), jp, sample_rate,
-                          g0=padn(offsets), g0_jitter=padn(joffsets))
+                          g0=padn(offsets), g0_jitter=padn(joffsets),
+                          window=lat_window)
     audio, new_states = synth_fused_pallas(
         tables, block, state=SynthState(*(padn(f) for f in states)),
         interpret=interpret)
@@ -265,13 +267,29 @@ def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
             offsets + block, joffsets + block)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "pcm16",
+                                             "lat_window"))
 def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
                        sample_rate, offsets, joffsets, states: SynthState,
-                       block: int, interpret: bool = False):
-    return _stream_tick_fused_body(scores, lattices, jparams, sample_rate,
-                                   offsets, joffsets, states, block,
-                                   interpret)
+                       block: int, interpret: bool = False,
+                       pcm16: bool = False, lat_window=None):
+    """pcm16=True folds the int16 conversion INTO this jit: a pool tick is
+    then exactly ONE device execution per tick. lat_window truncates the
+    shifted jitter lattice to the rows one block can touch (the full-window
+    gather is what made a tick cost ~29 ms on TPU — see build_tables)."""
+    out, states, off2, joff2 = _stream_tick_fused_body(
+        scores, lattices, jparams, sample_rate, offsets, joffsets, states,
+        block, interpret, lat_window=lat_window)
+    if pcm16:
+        out = _pcm16_body(out)
+    return out, states, off2, joff2
+
+
+def _pcm16_body(audio):
+    x = audio * jnp.float32(32767.0)
+    x = jnp.clip(x, -32768.0, 32767.0)
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    return x.astype(jnp.int16)
 
 
 @jax.jit
@@ -282,10 +300,7 @@ def _pcm16(audio):
     a sink ships anyway, and it HALVES the device->host audio bandwidth —
     on a remote-tunnel device link that is the difference between a
     sustainable and an unsustainable realtime fetch at large N."""
-    x = audio * jnp.float32(32767.0)
-    x = jnp.clip(x, -32768.0, 32767.0)
-    x = jnp.where(jnp.isnan(x), 0.0, x)
-    return x.astype(jnp.int16)
+    return _pcm16_body(audio)
 
 
 class StreamSession:
@@ -760,10 +775,20 @@ class StreamPool:
     def __init__(self, n: int, voice="generic", language="generic",
                  block: int = 1024, seeds=None, contour: bool = False,
                  speaking_rate: float = 1.0, backend: Optional[str] = None,
-                 mesh=None, output: str = "f32"):
+                 mesh=None, output: str = "f32",
+                 pin_elems: Optional[int] = None):
         if output not in ("f32", "pcm16"):
             raise ValueError(f"output must be 'f32' or 'pcm16', got {output!r}")
         self.output = output
+        # Strict-deadline serving: pin the element-count bucket so the tick
+        # jit shape NEVER changes mid-serving. Without a pin, a session
+        # crossing a power-of-two element count (long feed, or the
+        # idle-horizon append after text drains) changes E for the whole
+        # pool -> every session's score rebuilds AND the tick recompiles
+        # (a multi-second stall on TPU: measured 2 s, docs/SERVING.md).
+        # Size it to the largest horizon the deployment feeds; it grows
+        # (with a recompile) only if that is exceeded.
+        self.pin_elems = int(pin_elems) if pin_elems else 0
         seeds = list(seeds) if seeds is not None else list(range(n))
         self.sessions = [
             StreamSession(voice=voice, language=language, seed=seeds[i],
@@ -814,12 +839,28 @@ class StreamPool:
         for i, s in enumerate(self.sessions):
             s._pool_ref = (self, i)
 
+    class _NullCtx:
+        def __enter__(self):
+            return None
+
+        def __exit__(self, *a):
+            return False
+
+    def _feed_lock(self):
+        """The frontend lock while serve mode is live, else a no-op: feeds
+        must not mutate session element lists mid-_serve_build."""
+        return (getattr(self, "_serve_lock", None)
+                if getattr(self, "_serve_thread", None) is not None
+                else None) or StreamPool._NullCtx()
+
     def feed(self, i: int, text: str, parse_commands: bool = False) -> None:
-        self.sessions[i].feed(text, parse_commands=parse_commands)
+        with self._feed_lock():
+            self.sessions[i].feed(text, parse_commands=parse_commands)
 
     def flush(self, i: Optional[int] = None) -> None:
-        for s in (self.sessions if i is None else [self.sessions[i]]):
-            s.flush()
+        with self._feed_lock():
+            for s in (self.sessions if i is None else [self.sessions[i]]):
+                s.flush()
 
     def _prepare_tick(self, samples=None):
         """Host frontend + (cached) device upload for one tick of `samples`
@@ -831,7 +872,7 @@ class StreamPool:
         and the rare window slides). A feed therefore re-uploads ~E rows
         per session, not the multi-MB lattice window."""
         blk = self.block if samples is None else int(samples)
-        E = 16
+        E = max(16, _bucket(self.pin_elems)) if self.pin_elems else 16
         for s in self.sessions:
             s._ensure_audio_horizon(blk)
             s._rebase()
@@ -927,6 +968,7 @@ class StreamPool:
         dev = self._prepare_tick(blk)
         backend = dev["backend"]
         srj = self._srj
+        pcm_in_tick = False
         if backend.startswith("fused"):
             if self.mesh is not None:
                 tick = self._sharded_ticks.get(blk)
@@ -937,9 +979,18 @@ class StreamPool:
                         self.mesh, blk, backend == "fused_interpret")
                     self._sharded_ticks[blk] = tick
             else:
+                from ..synth.kernel_fused import _n_lat_rows
+
+                # pcm16 folded into the tick jit (one device execution per
+                # tick) + the shifted lattice truncated to the rows this
+                # block can touch: base span + per-chunk kernel read span
+                # (a full-window gather costs ~29 ms/tick on TPU at W=1024)
+                pcm_in_tick = self.output == "pcm16"
                 tick = functools.partial(
                     _stream_tick_fused, block=blk,
-                    interpret=backend == "fused_interpret")
+                    interpret=backend == "fused_interpret",
+                    pcm16=pcm_in_tick,
+                    lat_window=_n_lat_rows(blk) + _n_lat_rows(128) + 2)
             out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
                 dev["offsets"], dev["joffsets"], self._states)
@@ -958,7 +1009,8 @@ class StreamPool:
             s._consumed_samples += blk
             s._jitter_pos += blk
         if self.output == "pcm16":
-            out = _pcm16(out)
+            if not pcm_in_tick:
+                out = _pcm16(out)
             return np.asarray(out) if sync else out
         return np.asarray(out, np.float32) if sync else out
 
@@ -1012,6 +1064,186 @@ class StreamPool:
     def drain(self):
         """Fetch the last in-flight pipelined tick (None if none)."""
         return self.collect()
+
+    # -- RT serving: async frontend + dispatch-only ticks ------------------
+    #
+    # Strict per-block deadlines require the real-time thread to do
+    # NOTHING but dispatch. Every host cost that can stall a tick —
+    # horizon maintenance, rebases, score rebuilds, host->device uploads,
+    # even a jit recompile — moves to a FRONTEND thread that publishes
+    # complete device-input sets; serve_tick() atomically adopts the
+    # latest published set and dispatches. Text fed at tick k becomes
+    # audible one frontend cycle later (~one block period) — the latency
+    # contract interactive TTS needs — and the audio stream itself never
+    # underruns on frontend work. This is the production split the
+    # reference's cpal callback implies (examples/interactive.rs:41-70):
+    # the audio callback pulls; the synthesis frontend runs elsewhere.
+
+    def _tick_fn(self):
+        from ..synth.kernel_fused import _n_lat_rows
+
+        return functools.partial(
+            _stream_tick_fused, block=self.block,
+            interpret=self.backend == "fused_interpret",
+            pcm16=self.output == "pcm16",
+            lat_window=_n_lat_rows(self.block) + _n_lat_rows(128) + 2)
+
+    def _serve_build(self):
+        """Frontend cycle: sync counters to the RT tick clock, run session
+        maintenance, rebuild + upload changed inputs, publish a swap.
+
+        Runs ONLY on the frontend thread (and once in serve_start)."""
+        t_snap = self._serve_ticks          # GIL-atomic int read
+        blk = self.block
+        with self._serve_lock:
+            adv = (t_snap - self._serve_synced) * blk
+            if adv:
+                for s in self.sessions:
+                    s._consumed_samples += adv
+                    s._jitter_pos += adv
+                self._serve_synced = t_snap
+            dev = self._prepare_tick(blk)
+            pub_key = (self._cache_key, self._lat_key)
+            if pub_key == self._serve_pub_key:
+                return False                # steady state: nothing changed
+            swap = dict(
+                scores=dev["scores"], lattices=dev["lattices"],
+                jparams=dev["jparams"], backend=dev["backend"],
+                off_host=np.asarray(
+                    [s._consumed_samples for s in self.sessions], np.int32),
+                joff_host=np.asarray(
+                    [s._jitter_pos for s in self.sessions], np.int32),
+                snap_ticks=t_snap,
+            )
+            self._serve_pub_key = pub_key
+        with self._swap_lock:
+            self._swap_pending = swap       # newest publish wins
+        return True
+
+    def serve_start(self, period: Optional[float] = None) -> None:
+        """Start the serving frontend; serve_tick() becomes RT-safe.
+
+        `period` is the frontend cycle time (default: one block period).
+        The first build + the tick program's compile happen HERE, so the
+        first serve_tick() already runs warm. Feeds remain allowed from
+        any thread (they take the frontend lock, never the RT path)."""
+        import threading
+
+        if self.mesh is not None:
+            raise NotImplementedError("serve mode is single-device for "
+                                      "now; use read_block with a mesh")
+        if getattr(self, "_serve_thread", None) is not None:
+            return
+        self._serve_lock = threading.Lock()
+        self._swap_lock = threading.Lock()
+        self._swap_pending = None
+        self._serve_pub_key = None
+        self._serve_ticks = 0
+        self._serve_synced = 0
+        self._serve_stop_flag = False
+        self._serve_build()                 # initial publish (forced below)
+        with self._swap_lock:
+            swap = self._swap_pending
+        assert swap is not None, "initial serve build must publish"
+        # pre-compile the tick program (AOT lower+compile: no execution,
+        # no state advance) so the RT thread never sees a compile stall
+        if swap["backend"].startswith("fused"):
+            tick = self._tick_fn()
+            off = jnp.asarray(swap["off_host"])
+            _stream_tick_fused.lower(
+                swap["scores"], swap["lattices"], swap["jparams"],
+                self._srj, off, off, self._states,
+                block=self.block,
+                interpret=swap["backend"] == "fused_interpret",
+                pcm16=self.output == "pcm16",
+                lat_window=tick.keywords["lat_window"]).compile()
+        period = float(period) if period else self.block / self.sample_rate
+        self._serve_period = period
+
+        def loop():
+            import time as _t
+
+            while not self._serve_stop_flag:
+                t0 = _t.perf_counter()
+                try:
+                    self._serve_build()
+                except Exception:           # pragma: no cover - keep serving
+                    import traceback
+
+                    traceback.print_exc()
+                deadline = t0 + self._serve_period
+                while not self._serve_stop_flag:
+                    dt = deadline - _t.perf_counter()
+                    if dt <= 0:
+                        break
+                    _t.sleep(min(dt, 0.05))
+
+        self._serve_thread = threading.Thread(target=loop, daemon=True)
+        self._serve_thread.start()
+
+    def serve_tick(self):
+        """RT dispatch: adopt the latest published inputs (if any) and run
+        one tick. Returns the DEVICE audio array [N, block] (int16 when
+        output='pcm16') with its device->host copy already started — the
+        caller's sink fetches it (np.asarray) against its own deadline.
+
+        Touches no locks the frontend can hold for long: adoption is a
+        pointer swap + two [N] int32 uploads."""
+        with self._swap_lock:
+            swap, self._swap_pending = self._swap_pending, None
+        if swap is not None:
+            delta = np.int32((self._serve_ticks - swap["snap_ticks"])
+                             * self.block)
+            self._serve_dev = dict(
+                scores=swap["scores"], lattices=swap["lattices"],
+                jparams=swap["jparams"], backend=swap["backend"],
+                offsets=jnp.asarray(swap["off_host"] + delta),
+                joffsets=jnp.asarray(swap["joff_host"] + delta))
+        dev = self._serve_dev
+        if dev["backend"].startswith("fused"):
+            out, states, off2, joff2 = self._tick_fn()(
+                dev["scores"], dev["lattices"], dev["jparams"], self._srj,
+                dev["offsets"], dev["joffsets"], self._states)
+            dev["offsets"], dev["joffsets"] = off2, joff2
+        else:                               # pathological-score fallback
+            out, states = _stream_block_batch(
+                dev["scores"], dev["lattices"], dev["jparams"], self._srj,
+                dev["offsets"], dev["joffsets"], self._states, self.block,
+                use_pallas=False)
+            dev["offsets"] = dev["offsets"] + self.block
+            dev["joffsets"] = dev["joffsets"] + self.block
+            if self.output == "pcm16":
+                out = _pcm16(out)
+        self._states = states
+        self._serve_ticks += 1
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return out
+
+    def serve_stop(self) -> None:
+        """Stop the frontend thread and resync session counters so the
+        non-serving APIs (read_block, save) see the served position."""
+        th = getattr(self, "_serve_thread", None)
+        if th is None:
+            return
+        self._serve_stop_flag = True
+        th.join(timeout=30)
+        self._serve_thread = None
+        blk = self.block
+        with self._serve_lock:
+            adv = (self._serve_ticks - self._serve_synced) * blk
+            if adv:
+                for s in self.sessions:
+                    s._consumed_samples += adv
+                    s._jitter_pos += adv
+                self._serve_synced = self._serve_ticks
+        # the RT dev dict carried device-advanced offsets; drop the pool's
+        # upload cache so the next read_block rebuilds from host counters
+        self._cache_key = None
+        self._lat_key = None
+        self._serve_dev = None
 
     # -- pool-level checkpoint / restore -----------------------------------
     #

@@ -141,10 +141,21 @@ class FusedTables(NamedTuple):
 
 
 def build_tables(score: Score, lattice, jparams, sample_rate,
-                 g0=None, g0_jitter=None) -> FusedTables:
+                 g0=None, g0_jitter=None, window=None) -> FusedTables:
     """Score [B, E] + JitterLattice [B, W(,8)] -> kernel-layout tables.
 
     Pure cheap [E]/[W]-sized ops; safe to trace inside jit.
+
+    `window` (static int) truncates the per-lane SHIFTED lattice to its
+    first `window` rows — the streaming-tick fast path. After the
+    floor(g0j*inc) pre-shift, a T-sample program only ever reads rows
+    [0, ceil(T*inc) + nlat); a pool tick (T = one block) therefore needs a
+    handful of rows out of a multi-second session window, and gathering
+    all W rows per tick is what turns an ~1 ms tick into a ~29 ms one on
+    TPU (the [W, 8, B] take_along_axis; measured, docs/SERVING.md).
+    Callers must size `window` >= the program's true row span
+    (_n_lat_rows-style margin included); rows clip at the window reserve
+    edge exactly as the unwindowed gather does.
     """
     sr = jnp.float32(sample_rate)
     jf, jdf, jdff, jda = jparams
@@ -193,8 +204,9 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
             [latf, jnp.broadcast_to(latf[-1:], (Wp - W,) + latf.shape[1:])], 0)
         lata = jnp.concatenate(
             [lata, jnp.broadcast_to(lata[-1:], (Wp - W,) + lata.shape[1:])], 0)
-    rows_w = jnp.arange(Wp, dtype=jnp.int32)
-    idx = jnp.clip(rows_w[:, None] + shift[None, :], 0, Wp - 1)  # [Wp, B]
+    Wk = Wp if window is None else max(min(int(window), Wp), _MIN_LAT_ROWS)
+    rows_w = jnp.arange(Wk, dtype=jnp.int32)
+    idx = jnp.clip(rows_w[:, None] + shift[None, :], 0, Wp - 1)  # [Wk, B]
     latp = jnp.take_along_axis(latp, idx, axis=0)
     latf = jnp.take_along_axis(latf, idx[:, None, :].repeat(8, axis=1), axis=0)
     lata = jnp.take_along_axis(lata, idx[:, None, :].repeat(8, axis=1), axis=0)

@@ -526,3 +526,57 @@ def test_pool_pcm16_output_matches_f32():
     np.testing.assert_array_equal(a16, expect)
     with pytest.raises(ValueError):
         StreamPool(1, output="wat")
+
+
+def test_pool_serve_mode_matches_read_block():
+    """serve mode (async frontend + dispatch-only RT ticks) is bit-exact
+    vs the read_block path: maintenance moving to the frontend thread must
+    not change a single sample. Feeds land via a frontend publish and do
+    not disturb other sessions."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    n = 4
+
+    def mk():
+        pool = StreamPool(n, voice="plain", language="english", block=1024,
+                          backend="fused_interpret", pin_elems=64)
+        for i in range(n):
+            pool.feed(i, ["hello", "hi there", "go on", "stop it"][i])
+            pool.flush(i)
+        return pool
+
+    ref_pool = mk()
+    ref = [np.asarray(ref_pool.read_block()) for _ in range(12)]
+
+    pool = mk()
+    # period=9999: the frontend thread idles; builds are driven explicitly
+    # so the publish points are deterministic for the test
+    pool.serve_start(period=9999)
+    got = []
+    for k in range(12):
+        if k == 5:
+            pool.feed(1, " more")
+            pool.flush(1)
+            pool._serve_build()
+        got.append(np.asarray(pool.serve_tick()))
+    pool.serve_stop()
+
+    for k in range(5):        # before the extra feed: identical pools
+        np.testing.assert_array_equal(got[k], ref[k])
+    for k in range(12):       # the feed only ever touches session 1
+        np.testing.assert_array_equal(got[k][[0, 2, 3]], ref[k][[0, 2, 3]])
+
+
+def test_pool_serve_pin_elems_fixes_bucket():
+    """pin_elems pins the tick's element bucket (jit-shape stability for
+    strict-deadline serving): short scores pad up to the pin instead of
+    switching buckets as text drains."""
+    from grail_tpu.runtime.stream import StreamPool, _bucket
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="fused_interpret", pin_elems=48)
+    pool.feed(0, "hi")
+    pool.flush(0)
+    dev = pool._prepare_tick()
+    E = int(np.asarray(dev["scores"].length).shape[1])
+    assert E == _bucket(48) == 64
