@@ -24,17 +24,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pool_deadline(args):
-    """Strict-deadline POOL serving (VERDICT r2 #1): N sessions, depth-2
-    pipelined ticks (StreamPool.tick_pipelined — dispatch tick k+1 while
-    tick k's async device->host copy drains), measured against hard
-    per-block deadlines with NO read-ahead. Queue depth is structurally 2:
-    exactly one extra block of sink latency vs a synchronous tick.
+    """Strict-deadline POOL serving (VERDICT r2 #1): N sessions in SERVE
+    MODE — the real-time thread only dispatches (StreamPool.serve_tick;
+    all host maintenance, score rebuilds and uploads run on the pool's
+    frontend thread), while sink workers fetch each block IN ORDER against
+    hard deadlines. No read-ahead: text feeds land right up to a tick's
+    dispatch and take effect one frontend cycle (~one block period) later.
 
-    Schedule: call k fires at t0 + k*period, dispatches tick k, and
-    returns tick k-1's audio, which a sink plays in the window starting at
-    t0 + (k+1)*period — so the fetch completing after that is a deadline
-    miss (an audio underrun). Text is fed live every few ticks, as in
-    production serving. Reports one JSON line per block size."""
+    Deadline accounting: tick k dispatches at t0 + k*period; its audio is
+    due at t0 + (k+D)*period for sink pipeline depth D. D=2 is the
+    depth-2 schedule (exactly one extra block of latency over a
+    synchronous tick); D=3/4 are the standard cpal/pipewire sink buffer
+    depths (the reference's own audio path buffers 2-3 periods). Misses
+    are reported per depth so serving capability and transport jitter
+    separate cleanly. Reports one JSON line per block size."""
+    import gc
+    import queue as _queue
+    import threading
     import time
 
     import numpy as np
@@ -46,66 +52,67 @@ def pool_deadline(args):
     rng = np.random.default_rng(0)
     texts = ["hello world ", "synthesis at scale ", "grail on tpu ",
              "formants forever "]
-    # CPU = the LOCAL-dispatch measurement (the XLA associative-scan core
-    # compiled for host): dispatch and fetch cost microseconds, so this is
-    # what any local-attached runtime sees. TPU through the axon tunnel
-    # adds a measured ~33 ms RPC + ~30 MB/s transfer per fetch (see
-    # SERVING_r03 notes) that no local runtime pays.
+    # CPU = the LOCAL-dispatch measurement (the XLA core compiled for
+    # host): dispatch and fetch cost microseconds — what a locally
+    # attached production runtime sees. TPU through the axon tunnel pays a
+    # measured ~27 ms RPC round trip per fetch (docs/SERVING.md) that a
+    # local runtime does not.
     backend = "fused" if args.tpu else "xla"
     for block in args.pool_blocks:
         period = block / sr
         pool = StreamPool(n, voice="plain", language="english", block=block,
                           backend=backend,
-                          output="pcm16" if args.tpu else "f32",
+                          output=(args.output or ("pcm16" if args.tpu
+                                                  else "f32")),
                           pin_elems=args.pin_elems)
-        # live-feed cadence sized so injected audio (~6 s per feed) stays
-        # within the pool's realtime capacity — overfeeding just measures
-        # backlog growth, not serving
         feed_every = max(7, int(np.ceil(12.0 / (n * period))))
         for i in range(n):
             pool.feed(i, texts[i % len(texts)])
             pool.flush(i)
-        # warm: visit every (E, cells) jit bucket the timed loop could see
-        # (a deployed sink AOT-warms the same way — compilation is never
-        # real-time work). Feeds run DENSER than the timed cadence so the
-        # warm pass reaches strictly higher element-count buckets than any
-        # timed tick will.
-        for k in range(200):
+        pool.serve_start()
+        # warm: the serve jit is AOT-compiled in serve_start; run a few
+        # hundred ticks with live feeds so every steady-state code path
+        # (incremental row scatter at each K bucket, lattice slides) has
+        # executed once before the timed loop
+        for k in range(300):
             if k % 10 == 0:
                 i = int(rng.integers(0, n))
                 pool.feed(i, texts[int(rng.integers(0, len(texts)))])
                 pool.flush(i)
-            _ = pool.tick_pipelined()
-        for _k in range(int(8.0 / period)):   # drain the warm backlog
-            _ = pool.tick_pipelined()
-        _ = pool.drain()
+            pool.serve_tick()
+        np.asarray(pool.serve_tick())
 
-        # Timed loop — producer/sink split, the real serving architecture:
-        # the paced PRODUCER dispatches tick k at t0+k*period (enqueue is
-        # ~3 ms; the device computes in ~1.4 ms) and hands the device
-        # array to the SINK THREAD, which fetches blocks in order and
-        # timestamps arrival. Tick k's audio is due at t0+(k+2)*period
-        # (depth-2 schedule: one block of pipeline latency); arriving
-        # later is a deadline miss (= sink underrun). No read-ahead: every
-        # tick's text can be fed right up to its dispatch. Queue depth is
-        # reported — sustained > 2 means the link cannot carry the audio
-        # in realtime at all (bandwidth, not latency).
-        use_thread = args.tpu   # local backends fetch in-loop (microseconds)
-        if use_thread:
-            import queue as _queue
-            import threading
+        # link-health probe: the tunnel's RTT and fetch-time swing 2-10x
+        # between runs (docs/SERVING.md); recording them next to the
+        # deadline numbers makes each row self-calibrating (a row with
+        # link_fetch_p99 >> period documents a degraded link, not a
+        # serving regression)
+        link = {}
+        if args.tpu:
+            import jax as _jax
 
-            inq = _queue.Queue()
+            tiny = [_jax.device_put(np.zeros(8, np.int8)) for _ in range(12)]
+            probe_dtype = {"pcm16": np.int16, "ulaw": np.uint8}.get(
+                pool.output, np.float32)
+            blocks = [_jax.device_put(np.zeros((n, block), probe_dtype))
+                      for _ in range(12)]
+            for arrs, name in ((tiny, "link_rtt_ms"),
+                              (blocks, "link_fetch_ms")):
+                ts = []
+                for a in arrs:
+                    tpb = time.perf_counter()
+                    np.asarray(a)
+                    ts.append((time.perf_counter() - tpb) * 1e3)
+                ts = ts[2:]    # skip first-touch outliers
+                link[name + "_p50"] = round(float(np.percentile(ts, 50)), 1)
+                link[name + "_max"] = round(float(max(ts)), 1)
+
+        inq = _queue.Queue()
         avails = {}
+        inflight = [0]
+        peak = [0]
+        lk = threading.Lock()
 
-        # The tunnel's fetch RTT (~30 ms) exceeds the 23 ms block period, so
-        # ONE serialized fetcher can never sustain realtime regardless of
-        # pipeline depth. The depth-2 window is 2 periods, so the sink runs
-        # `--sink-workers` (default 2) concurrent in-order fetchers — the
-        # number of fetches in flight is bounded by the worker count, which
-        # keeps the queue-depth/latency contract: tick k's audio still lands
-        # within the same 2-period window, the RTTs just overlap. (A
-        # local-attached runtime fetches in microseconds and needs one.)
         def sink_loop():
             while True:
                 item = inq.get()
@@ -115,33 +122,26 @@ def pool_deadline(args):
                 a = np.asarray(dev)
                 avails[kk] = time.perf_counter()
                 assert a.shape == (n, block)
-                with inflight_lock:
+                with lk:
                     inflight[0] -= 1
 
-        if use_thread:
-            inflight = [0]
-            inflight_lock = threading.Lock()
-            workers = [threading.Thread(target=sink_loop, daemon=True)
-                       for _ in range(args.sink_workers)]
-            for th in workers:
-                th.start()
-
-        import gc
+        workers = [threading.Thread(target=sink_loop, daemon=True)
+                   for _ in range(args.sink_workers)]
+        for th in workers:
+            th.start()
 
         gc.collect()
         gc.disable()    # a real-time audio loop does not take GC pauses
         try:
             # a real audio server runs under the RT scheduler (SCHED_FIFO),
             # exactly like jackd/pipewire's processing threads
-            os.sched_setscheduler(
-                0, os.SCHED_FIFO, os.sched_param(10))
+            os.sched_setscheduler(0, os.SCHED_FIFO, os.sched_param(10))
         except (AttributeError, OSError, PermissionError):
             try:
                 os.nice(-10)
             except (OSError, PermissionError):
                 pass
         dispatches = []
-        max_outstanding = 2
         t0 = time.perf_counter() + period
         for k in range(args.ticks):
             target = t0 + k * period
@@ -153,47 +153,40 @@ def pool_deadline(args):
                 pool.feed(i, texts[int(rng.integers(0, len(texts)))])
                 pool.flush(i)
             td = time.perf_counter()
-            if use_thread:
-                out = pool.read_block(sync=False)
-                try:
-                    out.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-                dispatches.append(time.perf_counter() - td)
-                with inflight_lock:
-                    inflight[0] += 1
-                    max_outstanding = max(max_outstanding, inflight[0])
-                inq.put((k, out))
-            else:
-                # depth-2 in-loop: collect tick k-1 (its copy had a full
-                # period to drain), then dispatch tick k
-                audio = pool.collect()
-                if audio is not None:
-                    avails[k - 1] = time.perf_counter()
-                pool.dispatch_tick()
-                dispatches.append(time.perf_counter() - td)
-        if use_thread:
-            for _ in workers:
-                inq.put(None)
-            for th in workers:
-                th.join(timeout=120)
-        else:
-            audio = pool.drain()
-            if audio is not None:
-                avails[args.ticks - 1] = time.perf_counter()
+            out = pool.serve_tick()
+            dispatches.append(time.perf_counter() - td)
+            with lk:
+                inflight[0] += 1
+                peak[0] = max(peak[0], inflight[0])
+            inq.put((k, out))
+        for _ in workers:
+            inq.put(None)
+        for th in workers:
+            th.join(timeout=120)
         gc.enable()
+        pool.serve_stop()
 
         end = time.perf_counter() + 1e3   # unfetched tick: count as missed
         lat = np.array([avails.get(k, end) - (t0 + k * period)
                         for k in range(args.ticks)])
-        late = np.array([avails.get(k, end) - (t0 + (k + 2) * period)
-                         for k in range(args.ticks)])
-        misses = int(np.sum(late > 0))
-        # same timestamps against a 3-period sink buffer (one more block of
-        # latency — the cpal/pipewire default is 2-3 periods): separates
-        # misses caused by serving from host-OS scheduling stalls
-        late3 = np.array([avails.get(k, end) - (t0 + (k + 3) * period)
-                          for k in range(args.ticks)])
+        miss = {d: int(np.sum(lat > d * period))
+                for d in (2, 3, 4)}
+        # stall structure: a multi-second link outage produces ONE long
+        # run of consecutive misses (and a backlog that then drains); a
+        # serving-capacity failure produces misses spread through the run.
+        # Reporting the event count + worst span separates the two.
+        late2 = lat > 2 * period
+        events = 0
+        worst_span = 0
+        span = 0
+        for m in late2:
+            if m:
+                span += 1
+                if span == 1:
+                    events += 1
+                worst_span = max(worst_span, span)
+            else:
+                span = 0
         dms = np.asarray(dispatches) * 1e3
         print(json.dumps({
             "bench": "serving_deadline",
@@ -203,19 +196,26 @@ def pool_deadline(args):
             "output": pool.output,
             "period_ms": round(period * 1e3, 2),
             "ticks": args.ticks,
-            "pipeline_depth": 2,
-            "added_latency_blocks": 1,
-            "deadline_misses": misses,
-            "miss_rate": round(misses / args.ticks, 5),
-            "deadline_misses_depth3": int(np.sum(late3 > 0)),
-            "worst_late_ms": round(float(late.max()) * 1e3, 2),
+            "architecture": "serve_mode_rt_dispatch_only",
+            "sink_workers": args.sink_workers,
+            "deadline_misses": miss[2],
+            "miss_rate": round(miss[2] / args.ticks, 5),
+            "deadline_misses_depth3": miss[3],
+            "deadline_misses_depth4": miss[4],
+            "miss_events": events,
+            "worst_miss_span_ticks": worst_span,
             "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "latency_p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
             "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
             "latency_max_ms": round(float(lat.max()) * 1e3, 2),
             "dispatch_p50_ms": round(float(np.percentile(dms, 50)), 2),
             "dispatch_p99_ms": round(float(np.percentile(dms, 99)), 2),
-            "max_queue_depth": max_outstanding,
-            "realtime_ok": misses == 0,
+            "dispatch_max_ms": round(float(dms.max()), 2),
+            "max_queue_depth": peak[0],
+            **link,
+            "realtime_ok": miss[2] == 0,
+            "realtime_ok_depth3": miss[3] == 0,
+            "realtime_ok_depth4": miss[4] == 0,
         }), flush=True)
 
 
@@ -230,14 +230,19 @@ def main():
     ap.add_argument("--pool-blocks", type=int, nargs="*",
                     default=[1024, 2048, 4096])
     ap.add_argument("--ticks", type=int, default=2000)
-    ap.add_argument("--pin-elems", type=int, default=64,
+    ap.add_argument("--output", default=None,
+                    choices=["f32", "pcm16", "ulaw"],
+                    help="pool output format (default pcm16 on TPU, f32 "
+                         "locally); ulaw = G.711 8-bit, the telephony "
+                         "serving format — quarters fetch bandwidth")
+    ap.add_argument("--pin-elems", type=int, default=128,
                     help="pin the pool's element bucket (jit-shape "
                          "stability: a mid-serving E-bucket change is a "
                          "multi-second recompile stall)")
-    ap.add_argument("--sink-workers", type=int, default=2,
-                    help="concurrent sink fetchers (TPU tunnel: the ~30 ms "
-                         "fetch RTT must overlap to sustain a <30 ms period; "
-                         "bounded by the depth-2 window = 2 periods)")
+    ap.add_argument("--sink-workers", type=int, default=4,
+                    help="concurrent in-order sink fetchers (TPU tunnel: "
+                         "the ~27 ms fetch RTT must overlap to sustain a "
+                         "sub-RTT block period; measured best at 3)")
     args = ap.parse_args()
 
     if not args.tpu:

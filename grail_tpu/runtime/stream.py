@@ -267,21 +267,24 @@ def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
             offsets + block, joffsets + block)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "pcm16",
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "out_fmt",
                                              "lat_window"))
 def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
                        sample_rate, offsets, joffsets, states: SynthState,
                        block: int, interpret: bool = False,
-                       pcm16: bool = False, lat_window=None):
-    """pcm16=True folds the int16 conversion INTO this jit: a pool tick is
-    then exactly ONE device execution per tick. lat_window truncates the
-    shifted jitter lattice to the rows one block can touch (the full-window
-    gather is what made a tick cost ~29 ms on TPU — see build_tables)."""
+                       out_fmt: str = "f32", lat_window=None):
+    """out_fmt folds the output conversion (pcm16 / G.711 ulaw) INTO this
+    jit: a pool tick is then exactly ONE device execution per tick.
+    lat_window truncates the shifted jitter lattice to the rows one block
+    can touch (the full-window gather is what made a tick cost ~29 ms on
+    TPU — see build_tables)."""
     out, states, off2, joff2 = _stream_tick_fused_body(
         scores, lattices, jparams, sample_rate, offsets, joffsets, states,
         block, interpret, lat_window=lat_window)
-    if pcm16:
+    if out_fmt == "pcm16":
         out = _pcm16_body(out)
+    elif out_fmt == "ulaw":
+        out = _ulaw_body(out)
     return out, states, off2, joff2
 
 
@@ -290,6 +293,58 @@ def _pcm16_body(audio):
     x = jnp.clip(x, -32768.0, 32767.0)
     x = jnp.where(jnp.isnan(x), 0.0, x)
     return x.astype(jnp.int16)
+
+
+def _ulaw_body(audio):
+    """f32 [-1,1] -> G.711 mu-law (uint8), the telephony serving format.
+
+    Serving pools can emit this directly (StreamPool output='ulaw'): it is
+    what network TTS streaming actually ships (G.711 PSTN/SIP), and it
+    QUARTERS the device->host audio bandwidth vs f32 — at N=128,
+    block=1024 that is 2.8 MB/s instead of 11.3 (pcm16) / 22.5 (f32),
+    which decides how fast a serving link recovers from a transport stall
+    (docs/SERVING.md). Standard encoder: BIAS=0x84, clip 32635, 8
+    exponent segments, inverted output bits."""
+    pcm = _pcm16_body(audio).astype(jnp.int32)
+    sign = jnp.where(pcm < 0, jnp.int32(0x80), jnp.int32(0))
+    m = jnp.minimum(jnp.abs(pcm), 32635) + jnp.int32(0x84)
+    # exponent = position of the MSB of m relative to bit 7 (m >= 0x84 so
+    # log2 is safe; f32 log2 of an int < 2^16 resolves the floor exactly
+    # away from powers of two, and AT a power of two log2 is exact)
+    e = jnp.clip(jnp.floor(jnp.log2(m.astype(jnp.float32))).astype(jnp.int32)
+                 - 7, 0, 7)
+    mant = jnp.right_shift(m, e + 3) & 0xF
+    return (~(sign | jnp.left_shift(e, 4) | mant) & 0xFF).astype(jnp.uint8)
+
+
+def ulaw_decode(code: np.ndarray) -> np.ndarray:
+    """G.711 mu-law uint8 -> int16 PCM (host-side reference decoder for
+    sinks and tests)."""
+    c = (~np.asarray(code, np.uint8).astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    e = (c >> 4) & 0x7
+    mant = c & 0xF
+    m = ((mant << 3) + 0x84) << e
+    m = m - 0x84
+    return np.where(sign != 0, -m, m).astype(np.int16)
+
+
+@jax.jit
+def _scatter_rows(stack: Score, offsets, joffsets, rows: Score,
+                  off_new, joff_new, idx):
+    """Scatter K changed sessions' score rows (+offset counters) into the
+    device-resident [N, E] stack: the incremental-upload path of
+    StreamPool._prepare_tick (K is bucketed so at most log2(N) shapes
+    compile). Duplicate idx entries carry identical rows (idempotent)."""
+    upd = jax.tree.map(lambda o, r: o.at[idx].set(r), stack, rows)
+    return (upd, offsets.at[idx].set(off_new),
+            joffsets.at[idx].set(joff_new))
+
+
+@jax.jit
+def _ulaw(audio):
+    """f32 [-1,1] -> G.711 mu-law uint8 (see _ulaw_body)."""
+    return _ulaw_body(audio)
 
 
 @jax.jit
@@ -530,6 +585,13 @@ class StreamSession:
         # (append-grow / rebase-shrink cycles were forcing tick recompiles).
         self._rebase(min_drop=0)
         margin = max(4 * samples_needed, int(2 * self.sample_rate))
+        # pooled sessions stagger their horizon expiry (index-derived
+        # phase): sessions fed together otherwise all re-append on the
+        # SAME tick, turning a ~13 KB incremental row upload into a
+        # thundering-herd full-stack rebuild on the serving frontend
+        if self._pool_ref is not None:
+            i = self._pool_ref[1]
+            margin += int((i % 32) * 0.125 * self.sample_rate)
         n_el = -(-(deficit + margin) // int(0.5 * self.sample_rate))
         sil = PhonemeElem(Phoneme.SILENCE, 0.5, 0.5,
                           self.voice.center_frequency)
@@ -777,8 +839,9 @@ class StreamPool:
                  speaking_rate: float = 1.0, backend: Optional[str] = None,
                  mesh=None, output: str = "f32",
                  pin_elems: Optional[int] = None):
-        if output not in ("f32", "pcm16"):
-            raise ValueError(f"output must be 'f32' or 'pcm16', got {output!r}")
+        if output not in ("f32", "pcm16", "ulaw"):
+            raise ValueError(
+                f"output must be 'f32', 'pcm16' or 'ulaw', got {output!r}")
         self.output = output
         # Strict-deadline serving: pin the element-count bucket so the tick
         # jit shape NEVER changes mid-serving. Without a pin, a session
@@ -904,9 +967,59 @@ class StreamPool:
             self._lat_dev = jax.device_put(lattices)
 
         if key != self._cache_key or self._dev is None:
-            scores = [s._build_score(E) for s in self.sessions]
             from ..synth.score import stack_scores
 
+            # Incremental update: when only a few sessions' scores changed
+            # (a feed, a rebase, an idle-horizon append) and the batch
+            # structure (E bucket, voices, backend) is stable, upload just
+            # the changed rows (~13 KB/session) and scatter them into the
+            # device-resident stack — a full [N, E] re-upload is ~1.7 MB
+            # per publish and saturates a remote device link at serving
+            # feed rates (measured, docs/SERVING.md).
+            prev_key = self._cache_key
+            same_struct = (
+                self._dev is not None and prev_key is not None
+                and prev_key[0] == key[0] and prev_key[2] == key[2]
+                and self._dev["backend"] == self.backend)
+            changed = ([i for i in range(self.n)
+                        if prev_key[1][i] != key[1][i]]
+                       if same_struct else None)
+            # K capped at 8: the scatter jit compiles one shape per K
+            # bucket {1,2,4,8} (all AOT-warmed by serve_start); a larger
+            # changed set takes the full-upload path below
+            if changed is not None and 0 < len(changed) <= min(8, self.n):
+                from ..synth.kernel_fused import fused_supported
+
+                rows = [self.sessions[i]._build_score(E) for i in changed]
+                rows_b = stack_scores(rows)
+                if (not self.backend.startswith("fused")
+                        or fused_supported(rows_b, self.sample_rate)):
+                    K = _bucket(len(changed))     # jit-shape bucketing
+                    pad = K - len(changed)
+                    idx = np.asarray(changed + changed[:1] * pad, np.int32)
+                    if pad:                       # idempotent duplicate row
+                        rows_b = jax.tree.map(
+                            lambda f: np.concatenate(
+                                [f] + [f[:1]] * pad, axis=0), rows_b)
+                    off_new = np.asarray(
+                        [self.sessions[i]._consumed_samples
+                         for i in idx], np.int32)
+                    joff_new = np.asarray(
+                        [self.sessions[i]._jitter_pos for i in idx],
+                        np.int32)
+                    d = self._dev
+                    scores2, off2, joff2 = _scatter_rows(
+                        d["scores"], d["offsets"], d["joffsets"],
+                        jax.device_put(rows_b), jnp.asarray(off_new),
+                        jnp.asarray(joff_new), jnp.asarray(idx))
+                    self._dev = dict(scores=scores2, jparams=d["jparams"],
+                                     offsets=off2, joffsets=joff2,
+                                     backend=d["backend"])
+                    self._cache_key = key
+                    self._dev["lattices"] = self._lat_dev
+                    return self._dev
+
+            scores = [s._build_score(E) for s in self.sessions]
             scores_b = stack_scores(scores)
             # sessions may have switched voices live: per-session jitter
             # deltas (jitter RATE must stay shared — it fixes the lattice
@@ -981,15 +1094,16 @@ class StreamPool:
             else:
                 from ..synth.kernel_fused import _n_lat_rows
 
-                # pcm16 folded into the tick jit (one device execution per
-                # tick) + the shifted lattice truncated to the rows this
-                # block can touch: base span + per-chunk kernel read span
-                # (a full-window gather costs ~29 ms/tick on TPU at W=1024)
-                pcm_in_tick = self.output == "pcm16"
+                # output conversion folded into the tick jit (one device
+                # execution per tick) + the shifted lattice truncated to
+                # the rows this block can touch: base span + per-chunk
+                # kernel read span (a full-window gather costs ~29 ms/tick
+                # on TPU at W=1024)
+                pcm_in_tick = self.output != "f32"
                 tick = functools.partial(
                     _stream_tick_fused, block=blk,
                     interpret=backend == "fused_interpret",
-                    pcm16=pcm_in_tick,
+                    out_fmt=self.output,
                     lat_window=_n_lat_rows(blk) + _n_lat_rows(128) + 2)
             out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
@@ -1008,9 +1122,9 @@ class StreamPool:
             # state slices are materialized lazily via s._materialize_state
             s._consumed_samples += blk
             s._jitter_pos += blk
-        if self.output == "pcm16":
+        if self.output != "f32":
             if not pcm_in_tick:
-                out = _pcm16(out)
+                out = _pcm16(out) if self.output == "pcm16" else _ulaw(out)
             return np.asarray(out) if sync else out
         return np.asarray(out, np.float32) if sync else out
 
@@ -1026,7 +1140,7 @@ class StreamPool:
         prev, self._inflight = self._inflight, None
         if prev is None:
             return None
-        return (np.asarray(prev) if self.output == "pcm16"
+        return (np.asarray(prev) if self.output != "f32"
                 else np.asarray(prev, np.float32))
 
     def dispatch_tick(self) -> None:
@@ -1085,7 +1199,7 @@ class StreamPool:
         return functools.partial(
             _stream_tick_fused, block=self.block,
             interpret=self.backend == "fused_interpret",
-            pcm16=self.output == "pcm16",
+            out_fmt=self.output,
             lat_window=_n_lat_rows(self.block) + _n_lat_rows(128) + 2)
 
     def _serve_build(self):
@@ -1155,8 +1269,19 @@ class StreamPool:
                 self._srj, off, off, self._states,
                 block=self.block,
                 interpret=swap["backend"] == "fused_interpret",
-                pcm16=self.output == "pcm16",
+                out_fmt=self.output,
                 lat_window=tick.keywords["lat_window"]).compile()
+        # pre-compile every incremental-scatter K bucket: a mid-serving
+        # compile RPC stalls even the RT thread (the device client
+        # serializes compile and execute requests — measured 1.9 s
+        # dispatch stall, docs/SERVING.md)
+        for K in (1, 2, 4, 8):
+            if K > self.n:
+                break
+            rows = jax.tree.map(lambda f: f[:K], swap["scores"])
+            idxK = jnp.zeros((K,), jnp.int32)
+            _scatter_rows.lower(swap["scores"], off, off, rows,
+                                idxK, idxK, idxK).compile()
         period = float(period) if period else self.block / self.sample_rate
         self._serve_period = period
 
@@ -1214,6 +1339,8 @@ class StreamPool:
             dev["joffsets"] = dev["joffsets"] + self.block
             if self.output == "pcm16":
                 out = _pcm16(out)
+            elif self.output == "ulaw":
+                out = _ulaw(out)
         self._states = states
         self._serve_ticks += 1
         try:

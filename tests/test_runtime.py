@@ -580,3 +580,44 @@ def test_pool_serve_pin_elems_fixes_bucket():
     dev = pool._prepare_tick()
     E = int(np.asarray(dev["scores"].length).shape[1])
     assert E == _bucket(48) == 64
+
+
+def test_ulaw_output_round_trip():
+    """output='ulaw' emits G.711 mu-law (uint8) whose decode matches the
+    pcm16 stream within one mu-law quantization step (the telephony
+    serving format: quarters device->host audio bandwidth vs f32)."""
+    from grail_tpu.runtime.stream import StreamPool, ulaw_decode
+
+    def mk(output):
+        pool = StreamPool(2, voice="plain", language="english", block=1024,
+                          backend="fused_interpret", output=output)
+        pool.feed(0, "hello ")
+        pool.flush(0)
+        return np.concatenate([pool.read_block() for _ in range(6)], axis=1)
+
+    u = mk("ulaw")
+    p = mk("pcm16")
+    assert u.dtype == np.uint8
+    dec = ulaw_decode(u).astype(np.int32)
+    err = np.abs(dec - p.astype(np.int32))
+    # mu-law step size at |x| is ~ (|x|+132)/16 (one mantissa LSB of the
+    # active segment) — allow one step plus rounding
+    step = (np.abs(p.astype(np.int32)) + 132) // 16 + 4
+    assert np.all(err <= step), (err.max(), step[err > step][:4])
+
+
+def test_ulaw_encode_reference_points():
+    """Pin the encoder against hand-computed G.711 values."""
+    import jax.numpy as jnp
+
+    from grail_tpu.runtime.stream import _ulaw_body, ulaw_decode
+
+    x = np.array([0.0, 1.0, -1.0, 0.25, -0.25, 1e-4], np.float32)
+    code = np.asarray(_ulaw_body(jnp.asarray(x)))
+    assert code.dtype == np.uint8
+    assert code[0] == 0xFF          # +0 encodes to 0xFF
+    assert code[1] == 0x80          # +max -> 0x80
+    assert code[2] == 0x00          # -max -> 0x00
+    dec = ulaw_decode(code)
+    assert abs(int(dec[1]) - 32124) <= 0   # G.711 max decode magnitude
+    assert int(dec[2]) == -32124
