@@ -142,6 +142,7 @@ def pool_deadline(args):
             except (OSError, PermissionError):
                 pass
         dispatches = []
+        dispatch_late = 0
         t0 = time.perf_counter() + period
         for k in range(args.ticks):
             target = t0 + k * period
@@ -154,7 +155,13 @@ def pool_deadline(args):
                 pool.flush(i)
             td = time.perf_counter()
             out = pool.serve_tick()
-            dispatches.append(time.perf_counter() - td)
+            te = time.perf_counter()
+            dispatches.append(te - td)
+            # the server-side SLO: tick k's dispatch must complete before
+            # tick k+1's slot — the part the serving framework controls
+            # (the fetch leg is the device link's)
+            if te > target + period:
+                dispatch_late += 1
             with lk:
                 inflight[0] += 1
                 peak[0] = max(peak[0], inflight[0])
@@ -211,6 +218,8 @@ def pool_deadline(args):
             "dispatch_p50_ms": round(float(np.percentile(dms, 50)), 2),
             "dispatch_p99_ms": round(float(np.percentile(dms, 99)), 2),
             "dispatch_max_ms": round(float(dms.max()), 2),
+            "dispatch_deadline_misses": dispatch_late,
+            "realtime_ok_dispatch": dispatch_late == 0,
             "max_queue_depth": peak[0],
             **link,
             "realtime_ok": miss[2] == 0,

@@ -35,7 +35,16 @@ def main(argv=None) -> int:
                     help="play live through the audio device (or a paced "
                          "mock callback sink with underrun counters when "
                          "headless) — the reference's cpal output role")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the stream on the accelerator (default: CPU "
+                         "— a live REPL's sink sits next to the host, and "
+                         "a remote-tunnel device adds ~30 ms per block; "
+                         "use StreamPool serving for TPU-resident streams)")
     args = ap.parse_args(argv)
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     session = StreamSession(voice=args.voice, language=args.language,
                             block=args.block, contour=args.contour)
