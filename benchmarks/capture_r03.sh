@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-3 artifact capture, serialized (ONE axon client at a time — a
+# second concurrent client hangs on init). Each step is bounded and
+# link-probed; the tunnel's health swings minutes-scale (docs/SERVING.md),
+# so steps log and continue rather than abort the chain.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/capture_r03
+mkdir -p "$LOG"
+
+probe() {  # prints p50 RTT ms, or 9999 on hang
+  timeout 90 python - <<'EOF' 2>/dev/null || echo 9999
+import time, numpy as np, jax
+ts = []
+for _ in range(8):
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(np.zeros(8, np.int8)))
+    ts.append((time.perf_counter() - t0) * 1e3)
+print(round(float(np.percentile(ts[2:], 50)), 1))
+EOF
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "== $name (link rtt_p50=$(probe) ms) =="
+  timeout "$tmo" "$@" >"$LOG/$name.json" 2>"$LOG/$name.err"
+  echo "   rc=$? -> $LOG/$name.json"
+}
+
+step serving_pool 2400 python benchmarks/latency.py --tpu --pool 128 \
+    --ticks 2000 --output ulaw --pool-blocks 1024 2048 4096
+step serving_tick 1200 python benchmarks/serving.py
+step fidelity 5400 bash benchmarks/run_fidelity_r03.sh "$LOG/FIDELITY_r03.json"
+step throughput 2400 python benchmarks/throughput.py --batches 16,64,128,256,512,1024
+step throughput_attr 1800 python benchmarks/throughput.py --attr --batches 256
+echo "capture done: $(ls -la $LOG)"
