@@ -1261,9 +1261,9 @@ class StreamPool:
         assert swap is not None, "initial serve build must publish"
         # pre-compile the tick program (AOT lower+compile: no execution,
         # no state advance) so the RT thread never sees a compile stall
+        off = jnp.asarray(swap["off_host"])
         if swap["backend"].startswith("fused"):
             tick = self._tick_fn()
-            off = jnp.asarray(swap["off_host"])
             _stream_tick_fused.lower(
                 swap["scores"], swap["lattices"], swap["jparams"],
                 self._srj, off, off, self._states,

@@ -567,6 +567,31 @@ def test_pool_serve_mode_matches_read_block():
         np.testing.assert_array_equal(got[k][[0, 2, 3]], ref[k][[0, 2, 3]])
 
 
+def test_pool_serve_mode_xla_backend():
+    """serve_start works on the non-fused (xla) backend too — the AOT
+    warm-up path must not assume fused-only locals (regression: serve_start
+    crashed with UnboundLocalError on backend='xla' because the scatter
+    warm-up used a variable only set in the fused branch)."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    def mk(serve):
+        pool = StreamPool(2, voice="plain", language="english", block=1024,
+                          backend="xla")
+        pool.feed(0, "hi")
+        pool.flush(0)
+        if serve:
+            pool.serve_start(period=9999)
+            out = [np.asarray(pool.serve_tick()) for _ in range(4)]
+            pool.serve_stop()
+        else:
+            out = [np.asarray(pool.read_block()) for _ in range(4)]
+        return out
+
+    got, ref = mk(True), mk(False)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+
+
 def test_pool_serve_pin_elems_fixes_bucket():
     """pin_elems pins the tick's element bucket (jit-shape stability for
     strict-deadline serving): short scores pad up to the pin instead of
