@@ -30,7 +30,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 step serving_pool 2400 python benchmarks/latency.py --tpu --pool 128 \
     --ticks 2000 --output ulaw --pool-blocks 1024 2048 4096
 step serving_tick 1200 python benchmarks/serving.py
-step fidelity 5400 bash benchmarks/run_fidelity_r03.sh "$LOG/FIDELITY_r03.json"
+step fidelity 5400 python benchmarks/fidelity_suite.py --tpu
 step throughput 2400 python benchmarks/throughput.py --batches 16,64,128,256,512,1024
 step throughput_attr 1800 python benchmarks/throughput.py --attr --batches 256
 echo "capture done: $(ls -la $LOG)"

@@ -20,18 +20,24 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-LONG_EN = ("the quick brown fox jumps over the lazy dog, "
-           "while seventy silver ships sail silently seaward. " * 6
-           + "did you ever hear such a thing? certainly not.")
-LONG_ES = ("el rapido zorro marron salta sobre el perro perezoso, "
-           "mientras setenta barcos de plata navegan en silencio. " * 6
-           + "has oido alguna vez algo asi? claro que no.")
+# Long-form drift gates: with the stub intonator each phoneme spans 0.5 s,
+# so these ~150-char multi-clause texts synthesize to ~70-110 s — past the
+# >=60 s VERDICT gate but inside the capture budget (the sequential oracle
+# is the cost: ~8 min per 60 s of audio). Do NOT scale these up with
+# repetition: past ~190 s cumulative time the reference's f32 countdown
+# grid becomes coarser than one sample (score.py boundary-retarget warning).
+LONG_EN = ("the quick brown fox jumps over the lazy dog, while seventeen "
+           "synthesizers hum along in the hall. is anyone still listening "
+           "to this? the formants drift on and on.")
+LONG_ES = ("el rapido zorro marron salta sobre el perro perezoso, mientras "
+           "los sintetizadores cantan en la sala. hay alguien escuchando "
+           "todavia? la voz sigue y sigue sin parar.")
 LONG_DE = ("der schnelle braune fuchs springt ueber den faulen hund, "
-           "waehrend siebzig silberne schiffe stumm seewaerts segeln. " * 6
-           + "hast du so etwas je gehoert? sicher nicht.")
+           "waehrend siebzehn maschinen im saal summen. hoert da noch "
+           "jemand zu? die formanten wandern weiter und weiter.")
 LONG_FR = ("le rapide renard brun saute par dessus le chien paresseux, "
-           "pendant que septante navires argentes voguent en silence. " * 6
-           + "avez vous deja entendu une telle chose? certainement pas.")
+           "pendant que les machines chantent dans la salle. quelqu un "
+           "ecoute t il encore? la voix continue sans fin.")
 
 CONFIGS = [
     # label, extra args, all-paths?
@@ -46,6 +52,10 @@ CONFIGS = [
     ("contour",  ["--text", "hello there, how are you today? fine thanks.",
                   "--voice", "plain", "--language", "english",
                   "--contour"], True),
+    ("contour_es", ["--text",
+                    "buenos dias amigos, que tal estas hoy? muy bien.",
+                    "--voice", "plain", "--language", "espanol",
+                    "--contour"], True),
     ("long_en",  ["--text", LONG_EN, "--voice", "plain",
                   "--language", "english"], False),
     ("long_es",  ["--text", LONG_ES, "--voice", "plain",
@@ -55,9 +65,9 @@ CONFIGS = [
     ("long_fr",  ["--text", LONG_FR, "--voice", "plain",
                   "--language", "francais"], False),
     ("rate22050", ["--text", "aeae", "--voice", "generic",
-                   "--language", "generic", "--rate", "22050"], False),
+                   "--language", "generic", "--rate", "22050"], True),
     ("rate48000", ["--text", "hello", "--voice", "plain",
-                   "--language", "english", "--rate", "48000"], False),
+                   "--language", "english", "--rate", "48000"], True),
 ]
 
 

@@ -453,11 +453,23 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     """
     v = _resolve_voice(voice)
     sr = float(sample_rate or v.sample_rate)
+    explicit = backend is not None
     if backend is None:
         backend = "scan" if use_scan else default_backend()
-    if (backend not in ("xla", "scan") and pad_samples_to is None
-            and sr == float(v.sample_rate)):
-        return synthesize_scores([score], v, seeds=[seed], backend=backend)[0]
+    if backend not in ("xla", "scan"):
+        if pad_samples_to is None and sr == float(v.sample_rate):
+            return synthesize_scores([score], v, seeds=[seed],
+                                     backend=backend)[0]
+        if explicit:
+            # an explicitly requested kernel backend must not silently run
+            # the XLA path — the caller would believe they measured/ran the
+            # fused kernel
+            raise ValueError(
+                f"backend={backend!r} supports neither pad_samples_to nor a "
+                "sample_rate differing from the voice's "
+                f"({sr} vs {float(v.sample_rate)}); resample the voice first "
+                "(voice.resampled(sr), as synthesize() does) or use "
+                "backend='xla'/'scan'")
     N = _score_num_samples(score, sr)
     if pad_samples_to is not None and pad_samples_to < N:
         raise ValueError(

@@ -66,7 +66,9 @@ def main(argv=None) -> int:
         if args.raw:
             sys.stdout.buffer.write(a.astype(np.float32).tobytes())
             sys.stdout.buffer.flush()
-        elif sink is None:
+        else:
+            # --play also records: the -o WAV is written like cli.py's
+            # (playback AND file), not silently dropped
             chunks.append(a)
 
     print(f"grail-tpu interactive: voice={args.voice} language={args.language} "

@@ -108,6 +108,10 @@ class _IncrementalLattice:
         self.version += 1
 
     def window(self) -> JitterLattice:
+        """The FULL current window as a JitterLattice — test/reference use
+        only. Production ticks slice `[:cells]` and pass `lat_window=` so
+        the kernel gathers a handful of rows, not the whole window (the
+        full-window gather is the ~29 ms/tick regression; build_tables)."""
         return JitterLattice(self.pitch, self.formant, self.amp)
 
 
@@ -173,6 +177,14 @@ def _bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _scatter_bucket(n: int) -> int:
+    """Next power of two with NO floor — the incremental-scatter K bucket.
+    Must stay in {1, 2, 4, 8} for n <= 8: serve_start AOT-warms exactly
+    those shapes, and a single-session feed (n=1, the common case) must
+    hit the K=1 program, not a 16-row padded upload."""
+    return 1 << max(0, n - 1).bit_length()
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -380,6 +392,15 @@ class StreamSession:
         inc = float(self.voice.jitter_frequency)
         self._jitter_reserve = _bucket(
             max(int(jitter_horizon_s * self.sample_rate * inc) + 8, 16))
+        # Stagger jitter-window slides across sessions: the rebase trigger
+        # is otherwise deterministic in (jitter_pos, inc), which all pooled
+        # sessions share — every session would slide on the SAME tick,
+        # N boundary re-sims + a full lattice restack/publish at once (the
+        # idle-horizon twin of this, _ensure_audio_horizon, staggers for the
+        # same reason). Seed-derived (not pool-index-derived) so a session
+        # behaves identically solo and pooled; pool default seeds range(n)
+        # spread the phases round-robin.
+        self._jitter_stagger = int(seed) % max(1, self._jitter_reserve // 4)
 
         self._elements: List[PhonemeElem] = []   # always glide-merged
         self._rev = 0                # bumped whenever the rolling score
@@ -637,11 +658,13 @@ class StreamSession:
         that sub-cell epsilon) its lattice cell and fraction — the jitter
         stream continues with sub-1e-3-cell phase error, far below the
         fidelity gates, while sample positions stay small enough for
-        exact f32 arithmetic forever. Deterministic in (jitter_pos, inc),
-        so pooled and solo sessions rebase identically."""
+        exact f32 arithmetic forever. Deterministic in (jitter_pos, inc,
+        seed), so a session rebases identically solo and pooled; the
+        seed-derived stagger spreads different sessions' slides across
+        ticks (see __init__)."""
         inc = float(self.voice.jitter_frequency)
         need = int((self._jitter_pos + blk + 1) * inc) + 4
-        if need <= self._jitter_reserve:
+        if need + self._jitter_stagger <= self._jitter_reserve:
             return
         K = int(np.floor(self._jitter_pos * inc)) - 4
         if K <= 0:
@@ -994,7 +1017,7 @@ class StreamPool:
                 rows_b = stack_scores(rows)
                 if (not self.backend.startswith("fused")
                         or fused_supported(rows_b, self.sample_rate)):
-                    K = _bucket(len(changed))     # jit-shape bucketing
+                    K = _scatter_bucket(len(changed))   # jit-shape bucketing
                     pad = K - len(changed)
                     idx = np.asarray(changed + changed[:1] * pad, np.int32)
                     if pad:                       # idempotent duplicate row

@@ -189,14 +189,20 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     # shifted[w, lane] = orig[w + shift_lane, lane].
     inc_f = jnp.float32(jf)
     shift = jnp.floor(g0j.astype(jnp.float32) * inc_f).astype(jnp.int32)
-    aux = jnp.concatenate([g0[None], shift[None], g0j[None],
-                           jnp.zeros((5, B), jnp.int32)], axis=0)
 
     latp = t2(lattice.pitch)                                   # [W, B]
     latf = t3(lattice.formant)                                 # [W, 8, B]
     lata = t3(lattice.amp)
     W = latp.shape[0]
     Wp = max(W, _MIN_LAT_ROWS)
+    # Row 3 carries the LOGICAL (pre-truncation) lattice reserve: the
+    # kernel's absolute cell clamp must reference the session reserve edge,
+    # not the truncated tick window's row count — clamping at the window
+    # edge would saturate i_cl once floor(g0j*inc) exceeds `window`, driving
+    # the relative row index negative and silently zeroing all jitter.
+    aux = jnp.concatenate([g0[None], shift[None], g0j[None],
+                           jnp.full((1, B), Wp, jnp.int32),
+                           jnp.zeros((4, B), jnp.int32)], axis=0)
     if Wp > W:                                # tiny utterances: edge-pad rows
         latp = jnp.concatenate(
             [latp, jnp.broadcast_to(latp[-1:], (Wp - W,) + latp.shape[1:])], 0)
@@ -401,10 +407,11 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     # then a 2-way per-sample select. The jitter phase uses its own offset
     # (streaming rebases the score; the jitter stream is absolute).
     g0j = aux_ref[2][None, :]
+    w_log = aux_ref[3][None, :]         # logical lattice reserve (pre-window)
     k1jf = (kk + (tt * chunk + 1) + g0j).astype(jnp.float32)
     ph = k1jf * inc_s
     phi = ph - jnp.floor(ph)
-    i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, W - 2)
+    i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, w_log - 2)
     ia = i_cl[0:1]                                            # [1, lane]
     irel = ia - lat_shift - base                              # in [0, nlat-3]
     locp = [z1, z1, z1]

@@ -505,6 +505,72 @@ def test_jitter_window_rebase_long_session():
     assert sample_error_db(a, b) < -60
 
 
+def test_jitter_rebase_staggered_across_seeds():
+    """Sessions with distinct seeds must NOT slide their jitter window on
+    the same tick (the rebase thundering-herd: N simultaneous _rev bumps
+    turn one incremental row upload into a full pool restack). The stagger
+    is seed-derived so each session still behaves identically solo or
+    pooled."""
+    first_rebase = {}
+    for seed in range(4):
+        s = StreamSession(voice="generic", seed=seed, block=1024,
+                          jitter_horizon_s=1.5)
+        s.feed("aeae aeae ")
+        s.flush()
+        prev = s._jitter_pos
+        for t in range(120):
+            s.read()
+            if s._jitter_pos < prev + 1024:   # origin slid this tick
+                first_rebase[seed] = t
+                break
+            prev = s._jitter_pos
+        assert seed in first_rebase, "no rebase within 120 ticks"
+    assert len(set(first_rebase.values())) >= 3, first_rebase
+
+
+def test_windowed_tick_matches_full_lattice_at_large_offset():
+    """The lat_window fast path must be bit-identical to the full-lattice
+    gather at ANY absolute jitter offset. Regression: the kernel used to
+    clamp the absolute lattice cell index against the TRUNCATED window's
+    row count, so once floor(jitter_pos*inc) exceeded the window (~0.4 s
+    of stream at a pool's multi-second jitter horizon) the relative row
+    index went negative and all jitter silently zeroed out."""
+    import jax
+    import jax.numpy as jnp
+
+    from grail_tpu.runtime.stream import _stream_tick_fused_body
+    from grail_tpu.synth.kernel_fused import _n_lat_rows
+    from grail_tpu.synth.synthesize import SynthState
+
+    s = StreamSession(voice="generic", block=1024)
+    s.feed("aeae aeae aeae")
+    blk = 1024
+    jpos = 20 * 44100          # 20 s absolute jitter offset, no rebase
+    inc = float(s.voice.jitter_frequency)
+    cells = int((jpos + blk + 1) * inc) + 8
+    s._lattice.ensure(cells)
+    lat = jax.tree.map(lambda x: jnp.asarray(x)[None], s._lattice.window())
+    score = jax.tree.map(lambda x: jnp.asarray(x)[None], s._build_score(16))
+    jp = (jnp.float32(inc),
+          jnp.float32(s.voice.jitter_delta_frequency),
+          jnp.float32(s.voice.jitter_delta_formant_frequency),
+          jnp.float32(s.voice.jitter_delta_amplitude))
+    st = SynthState(*(jnp.asarray(x)[None] for x in s._state))
+    off = jnp.zeros(1, jnp.int32)
+    joff = jnp.full(1, jpos, jnp.int32)
+    win = _n_lat_rows(blk) + _n_lat_rows(128) + 2
+
+    full, _, _, _ = _stream_tick_fused_body(
+        score, lat, jp, jnp.float32(44100.0), off, joff, st, blk,
+        interpret=True, lat_window=None)
+    windowed, _, _, _ = _stream_tick_fused_body(
+        score, lat, jp, jnp.float32(44100.0), off, joff, st, blk,
+        interpret=True, lat_window=win)
+    full = np.asarray(full)
+    assert float(np.sqrt((full ** 2).mean())) > 1e-3   # real signal
+    assert np.array_equal(full, np.asarray(windowed))
+
+
 def test_pool_pcm16_output_matches_f32():
     """output='pcm16' pools emit int16 PCM with the WAV encoder's Rust
     `as i16` semantics, matching the f32 pool's audio converted host-side
