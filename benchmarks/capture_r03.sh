@@ -33,4 +33,17 @@ step serving_tick 1200 python benchmarks/serving.py
 step fidelity 5400 python benchmarks/fidelity_suite.py --tpu
 step throughput 2400 python benchmarks/throughput.py --batches 16,64,128,256,512,1024
 step throughput_attr 1800 python benchmarks/throughput.py --attr --batches 256
+
+# Assemble the repo-root round artifacts (JSONL, same shape as the r02
+# files) so the round-end auto-commit picks them up even if no one is
+# at the keyboard when the tunnel window opens.
+assemble() {  # assemble <dest> <src...>  — only from non-empty sources
+  local dest=$1; shift
+  local ok=0
+  for f in "$@"; do [ -s "$f" ] && ok=1; done
+  if [ "$ok" = 1 ]; then cat "$@" 2>/dev/null > "$dest"; echo "wrote $dest"; fi
+}
+assemble SERVING_r03.json "$LOG/serving_pool.json" "$LOG/serving_tick.json"
+assemble FIDELITY_r03.json "$LOG/fidelity.json"
+assemble THROUGHPUT_r03.json "$LOG/throughput.json" "$LOG/throughput_attr.json"
 echo "capture done: $(ls -la $LOG)"

@@ -861,7 +861,8 @@ class StreamPool:
                  block: int = 1024, seeds=None, contour: bool = False,
                  speaking_rate: float = 1.0, backend: Optional[str] = None,
                  mesh=None, output: str = "f32",
-                 pin_elems: Optional[int] = None):
+                 pin_elems: Optional[int] = None,
+                 jitter_horizon_s: float = 60.0):
         if output not in ("f32", "pcm16", "ulaw"):
             raise ValueError(
                 f"output must be 'f32', 'pcm16' or 'ulaw', got {output!r}")
@@ -876,10 +877,15 @@ class StreamPool:
         # (with a recompile) only if that is exceeded.
         self.pin_elems = int(pin_elems) if pin_elems else 0
         seeds = list(seeds) if seeds is not None else list(range(n))
+        # jitter_horizon_s sizes each session's device-resident lattice
+        # window (reserve rows = horizon * sr * jitter_rate); smaller
+        # horizons shrink the per-session upload at the cost of more
+        # frequent (staggered) window slides
         self.sessions = [
             StreamSession(voice=voice, language=language, seed=seeds[i],
                           block=block, contour=contour,
-                          speaking_rate=speaking_rate)
+                          speaking_rate=speaking_rate,
+                          jitter_horizon_s=jitter_horizon_s)
             for i in range(n)
         ]
         self.n = n

@@ -571,6 +571,35 @@ def test_windowed_tick_matches_full_lattice_at_large_offset():
     assert np.array_equal(full, np.asarray(windowed))
 
 
+def test_pool_long_run_matches_solo_across_window_slides():
+    """End-to-end guard over the whole serving stack at once: a pooled
+    fused windowed tick streamed through several (staggered) jitter-window
+    slides and incremental scatters must match solo sessions on the XLA
+    path. 35 ticks at a 0.3 s jitter horizon force >= 1 slide per session;
+    this is the run length at which the windowed-tick clamp bug zeroed all
+    jitter while every short test stayed green."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    ticks = 35
+    pool = StreamPool(2, voice="generic", block=1024,
+                      backend="fused_interpret", jitter_horizon_s=0.3)
+    pool.feed(0, "aeae aeae ")
+    pool.feed(1, "eaea ")
+    pool.flush()
+    pooled = np.concatenate([pool.read_block() for _ in range(ticks)], axis=1)
+    slides = [ticks * 1024 - s._jitter_pos for s in pool.sessions]
+    assert all(d > 0 for d in slides), slides          # every session slid
+    assert len(set(slides)) == 2, slides               # ...on different ticks
+
+    for i, txt in enumerate(["aeae aeae ", "eaea "]):
+        s = StreamSession(voice="generic", seed=i, block=1024,
+                          jitter_horizon_s=0.3)
+        s.feed(txt)
+        s.flush()
+        solo = s.read(ticks * 1024)
+        assert sample_error_db(pooled[i], solo) < -60, i
+
+
 def test_pool_pcm16_output_matches_f32():
     """output='pcm16' pools emit int16 PCM with the WAV encoder's Rust
     `as i16` semantics, matching the f32 pool's audio converted host-side
