@@ -1288,29 +1288,34 @@ class StreamPool:
         with self._swap_lock:
             swap = self._swap_pending
         assert swap is not None, "initial serve build must publish"
-        # pre-compile the tick program (AOT lower+compile: no execution,
-        # no state advance) so the RT thread never sees a compile stall
+        # Warm the tick program by EXECUTING it once on the published
+        # inputs (outputs discarded — the functions are pure, no donation,
+        # so device state does not advance). Execution, not
+        # .lower().compile(): an AOT-compiled executable is dropped on the
+        # floor and never enters jax.jit's call cache, so the first live
+        # dispatch would compile AGAIN (at best a persistent-cache disk
+        # hit, still a multi-100-ms stall on the RT thread).
         off = jnp.asarray(swap["off_host"])
         if swap["backend"].startswith("fused"):
             tick = self._tick_fn()
-            _stream_tick_fused.lower(
+            _stream_tick_fused(
                 swap["scores"], swap["lattices"], swap["jparams"],
                 self._srj, off, off, self._states,
                 block=self.block,
                 interpret=swap["backend"] == "fused_interpret",
                 out_fmt=self.output,
-                lat_window=tick.keywords["lat_window"]).compile()
-        # pre-compile every incremental-scatter K bucket: a mid-serving
-        # compile RPC stalls even the RT thread (the device client
-        # serializes compile and execute requests — measured 1.9 s
-        # dispatch stall, docs/SERVING.md)
+                lat_window=tick.keywords["lat_window"])
+        # warm every incremental-scatter K bucket: a mid-serving compile
+        # RPC stalls even the RT thread (the device client serializes
+        # compile and execute requests — measured 1.9 s dispatch stall,
+        # docs/SERVING.md). idx=0 rewrites row 0 with itself; results are
+        # discarded.
         for K in (1, 2, 4, 8):
             if K > self.n:
                 break
             rows = jax.tree.map(lambda f: f[:K], swap["scores"])
             idxK = jnp.zeros((K,), jnp.int32)
-            _scatter_rows.lower(swap["scores"], off, off, rows,
-                                idxK, idxK, idxK).compile()
+            _scatter_rows(swap["scores"], off, off, rows, idxK, idxK, idxK)
         period = float(period) if period else self.block / self.sample_rate
         self._serve_period = period
 

@@ -571,6 +571,35 @@ def test_windowed_tick_matches_full_lattice_at_large_offset():
     assert np.array_equal(full, np.asarray(windowed))
 
 
+def test_serve_start_warms_live_jit_shapes():
+    """serve_start's warm-up must populate the SAME jit call cache the
+    live dispatch uses: a feed + tick after serve_start may not add any
+    compiled shape. Regression: the warm-up used .lower().compile(),
+    whose executable never enters jax.jit's cache — every first feed hit
+    a mid-serving compile (the ~1.9 s RT-thread stall the warm-up exists
+    to prevent)."""
+    from grail_tpu.runtime.stream import (StreamPool, _scatter_rows,
+                                          _stream_tick_fused)
+
+    pool = StreamPool(4, voice="generic", block=1024,
+                      backend="fused_interpret", pin_elems=24)
+    pool.feed(0, "aeae")
+    pool.flush(0)
+    pool.serve_start()
+    try:
+        sc = _scatter_rows._cache_size()
+        tc = _stream_tick_fused._cache_size()
+        assert sc >= 3          # K in {1, 2, 4} (K=8 > n)
+        pool.feed(1, "ea")
+        pool.flush(1)
+        pool._serve_build()     # frontend publish: K=1 scatter
+        np.asarray(pool.serve_tick())
+        assert _scatter_rows._cache_size() == sc
+        assert _stream_tick_fused._cache_size() == tc
+    finally:
+        pool.serve_stop()
+
+
 def test_pool_long_run_matches_solo_across_window_slides():
     """End-to-end guard over the whole serving stack at once: a pooled
     fused windowed tick streamed through several (staggered) jitter-window
