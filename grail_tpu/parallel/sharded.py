@@ -215,7 +215,8 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     return (out * valid).T                                    # [B, T]
 
 
-def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False):
+def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False,
+                           out_fmt: str = "f32", lat_window=None):
     """Multi-chip SERVING: build a jitted StreamPool tick with sessions
     sharded over the mesh's 'data' axis.
 
@@ -233,18 +234,30 @@ def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False):
 
     jparams must carry PER-SESSION delta arrays (jdf/jdff/jda of shape
     [N]) — StreamPool._prepare_tick always builds them that way.
+
+    out_fmt / lat_window mirror _stream_tick_fused: the output conversion
+    (pcm16 / G.711 ulaw, elementwise, shard-local) folds into the tick so
+    a tick stays ONE device execution, and the shifted jitter lattice is
+    truncated to the rows one block can touch (the full-window gather is
+    the ~29 ms/tick regression; see build_tables).
     """
     from jax.experimental.shard_map import shard_map
 
-    from ..runtime.stream import _stream_tick_fused_body
+    from ..runtime.stream import (_pcm16_body, _stream_tick_fused_body,
+                                  _ulaw_body)
 
     d = P("data")
 
     def body(scores, lattices, jparams, sample_rate, offsets, joffsets,
              states):
-        return _stream_tick_fused_body(scores, lattices, jparams,
-                                       sample_rate, offsets, joffsets,
-                                       states, block, interpret)
+        out, st, off2, joff2 = _stream_tick_fused_body(
+            scores, lattices, jparams, sample_rate, offsets, joffsets,
+            states, block, interpret, lat_window=lat_window)
+        if out_fmt == "pcm16":
+            out = _pcm16_body(out)
+        elif out_fmt == "ulaw":
+            out = _ulaw_body(out)
+        return out, st, off2, joff2
 
     def specs_like(tree, spec):
         return jax.tree.map(lambda _: spec, tree)

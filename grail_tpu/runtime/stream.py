@@ -1112,28 +1112,29 @@ class StreamPool:
         srj = self._srj
         pcm_in_tick = False
         if backend.startswith("fused"):
+            from ..synth.kernel_fused import _n_lat_rows
+
+            # output conversion folded into the tick jit (one device
+            # execution per tick) + the shifted lattice truncated to
+            # the rows this block can touch: base span + per-chunk
+            # kernel read span (a full-window gather costs ~29 ms/tick
+            # on TPU at W=1024). Same folding on the mesh-sharded tick.
+            lat_win = _n_lat_rows(blk) + _n_lat_rows(128) + 2
+            pcm_in_tick = self.output != "f32"
             if self.mesh is not None:
                 tick = self._sharded_ticks.get(blk)
                 if tick is None:
                     from ..parallel.sharded import sharded_stream_tick_fn
 
                     tick = sharded_stream_tick_fn(
-                        self.mesh, blk, backend == "fused_interpret")
+                        self.mesh, blk, backend == "fused_interpret",
+                        out_fmt=self.output, lat_window=lat_win)
                     self._sharded_ticks[blk] = tick
             else:
-                from ..synth.kernel_fused import _n_lat_rows
-
-                # output conversion folded into the tick jit (one device
-                # execution per tick) + the shifted lattice truncated to
-                # the rows this block can touch: base span + per-chunk
-                # kernel read span (a full-window gather costs ~29 ms/tick
-                # on TPU at W=1024)
-                pcm_in_tick = self.output != "f32"
                 tick = functools.partial(
                     _stream_tick_fused, block=blk,
                     interpret=backend == "fused_interpret",
-                    out_fmt=self.output,
-                    lat_window=_n_lat_rows(blk) + _n_lat_rows(128) + 2)
+                    out_fmt=self.output, lat_window=lat_win)
             out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
                 dev["offsets"], dev["joffsets"], self._states)
