@@ -154,6 +154,10 @@ def lehmer_skip(p: int):
     a, b = LEHMER_A, 1          # one step: x -> A*x + 1
     ra, rb = 1, 0               # identity
     p = int(p)
+    if p < 0:
+        # a negative Python int never right-shifts to 0 — this would hang
+        # at trace time; callers must clamp (segment start - WARMUP >= 0)
+        raise ValueError(f"lehmer_skip distance must be >= 0, got {p}")
     while p:
         if p & 1:
             ra, rb = (a * ra) & M, (a * rb + b) & M

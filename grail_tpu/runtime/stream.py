@@ -118,7 +118,7 @@ class _IncrementalLattice:
 STREAM_COMMANDS = ("pitch", "rate", "voice", "lang")
 
 
-def _parse_commands(text: str):
+def _parse_commands(text: str, partial: bool = False):
     """Split text into ('text', str) and (command, value) chunks.
 
     Grammar (documented in docs/AUTHORING.md — the reference's planned
@@ -129,7 +129,14 @@ def _parse_commands(text: str):
 
     Malformed input is a loud ValueError — an unterminated '[', a
     bracket body without ':', or an unknown key (silently speaking a
-    mistyped command as text hides the mistake from the author)."""
+    mistyped command as text hides the mistake from the author).
+
+    With partial=True (the incremental feed() path) returns
+    (chunks, tail): a trailing fragment that could still become valid
+    with more input — an unterminated '[...'  command, a lone final
+    '[' (possible '[[' half), or a lone final ']' (possible ']]'
+    half) — is held back as `tail` instead of raising/emitting, so
+    commands may arrive split across feed() chunk boundaries."""
     out = []
     buf = []
     i = 0
@@ -137,12 +144,18 @@ def _parse_commands(text: str):
     while i < n:
         c = text[i]
         if c == "[":
+            if i + 1 == n and partial:      # could become '[[' next chunk
+                return (out + ([("text", "".join(buf))] if buf else []),
+                        text[i:])
             if text[i + 1:i + 2] == "[":
                 buf.append("[")
                 i += 2
                 continue
             k = text.find("]", i)
             if k < 0:
+                if partial:                 # command may terminate later
+                    return (out + ([("text", "".join(buf))] if buf else []),
+                            text[i:])
                 raise ValueError(
                     f"unterminated command bracket at {text[i:i + 20]!r} "
                     "(use '[[' for a literal '[')")
@@ -164,12 +177,15 @@ def _parse_commands(text: str):
         elif c == "]" and text[i + 1:i + 2] == "]":
             buf.append("]")
             i += 2
+        elif c == "]" and i + 1 == n and partial:  # possible ']]' half
+            return (out + ([("text", "".join(buf))] if buf else []),
+                    text[i:])
         else:
             buf.append(c)
             i += 1
     if buf:
         out.append(("text", "".join(buf)))
-    return out
+    return (out, "") if partial else out
 
 
 def _bucket(n: int) -> int:
@@ -423,6 +439,8 @@ class StreamSession:
         self._state = SynthState.init(())
         self._lattice = _IncrementalLattice(seed)
         self._pending_chars: List[str] = []
+        self._pending_cmd = ""       # unterminated [command fragment held
+        #                              across parse_commands=True feeds
         self._residual = np.empty(0, np.float32)  # unserved tail of last block
 
     # -- frontend ----------------------------------------------------------
@@ -443,10 +461,15 @@ class StreamSession:
             [[  /  ]]     literal '[' / ']'
 
         Malformed or unknown commands raise ValueError (grammar in
-        docs/AUTHORING.md).
+        docs/AUTHORING.md). A command split across feed() chunks ("[pit"
+        then "ch:150]") is buffered until terminated, like partial
+        transcription matches; an unterminated fragment at flush() is the
+        loud error.
         """
         if parse_commands:
-            for kind, payload in _parse_commands(text):
+            chunks, self._pending_cmd = _parse_commands(
+                self._pending_cmd + text, partial=True)
+            for kind, payload in chunks:
                 if kind == "text":
                     self.feed(payload)
                 else:
@@ -487,7 +510,18 @@ class StreamSession:
         self._rev += 1
 
     def flush(self) -> None:
-        """Force-transcribe any held-back characters."""
+        """Force-transcribe any held-back characters; a command fragment
+        still unterminated at end-of-input raises (strict grammar)."""
+        if self._pending_cmd:
+            # parse BEFORE clearing: on a ValueError the fragment stays
+            # buffered, so the caller can still terminate it with more text
+            chunks = _parse_commands(self._pending_cmd)
+            self._pending_cmd = ""
+            for kind, payload in chunks:
+                if kind == "text":
+                    self.feed(payload)
+                else:
+                    self._apply_command(kind, payload)
         if self._pending_chars:
             phonemes = list(transcribe_chars("".join(self._pending_chars), self.language))
             self._pending_chars = []
@@ -767,6 +801,7 @@ class StreamSession:
                                  self._lattice._formant_state.state,
                                  self._lattice._amp_state.state], np.uint32),
             pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
+            pending_cmd=np.frombuffer(self._pending_cmd.encode(), np.uint8),
             residual=self._residual,
         )
 
@@ -810,6 +845,8 @@ class StreamSession:
         self._lattice._formant_state.state = int(st[1])
         self._lattice._amp_state.state = int(st[2])
         self._pending_chars = list(bytes(g("pending")).decode())
+        self._pending_cmd = bytes(g("pending_cmd")).decode() \
+            if has("pending_cmd") else ""
         self._residual = np.asarray(g("residual"), np.float32) if has("residual") \
             else np.empty(0, np.float32)
 
@@ -931,19 +968,17 @@ class StreamPool:
         for i, s in enumerate(self.sessions):
             s._pool_ref = (self, i)
 
-    class _NullCtx:
-        def __enter__(self):
-            return None
-
-        def __exit__(self, *a):
-            return False
-
     def _feed_lock(self):
         """The frontend lock while serve mode is live, else a no-op: feeds
-        must not mutate session element lists mid-_serve_build."""
+        must not mutate session element lists mid-_serve_build. Gated on
+        the _serving flag (set BEFORE serve_start's initial build/warm-up,
+        not on thread creation) so there is no unlocked window while the
+        multi-second first build runs."""
+        import contextlib
+
         return (getattr(self, "_serve_lock", None)
-                if getattr(self, "_serve_thread", None) is not None
-                else None) or StreamPool._NullCtx()
+                if getattr(self, "_serving", False)
+                else None) or contextlib.nullcontext()
 
     def feed(self, i: int, text: str, parse_commands: bool = False) -> None:
         with self._feed_lock():
@@ -1232,6 +1267,43 @@ class StreamPool:
             out_fmt=self.output,
             lat_window=_n_lat_rows(self.block) + _n_lat_rows(128) + 2)
 
+    def _serve_warm(self, swap):
+        """Compile-warm the tick program for `swap`'s backend by EXECUTING
+        it once on the published inputs (outputs discarded — the functions
+        are pure, no donation, so device state does not advance).
+        Execution, not .lower().compile(): an AOT-compiled executable is
+        dropped on the floor and never enters jax.jit's call cache, so the
+        first live dispatch would compile AGAIN (at best a persistent-cache
+        disk hit, still a multi-100-ms stall on the RT thread).
+
+        Called from serve_start and — for a mid-serving backend change
+        (the fused_supported pathological-score downgrade) — from the
+        frontend thread before the swap publishes, so the RT thread never
+        dispatches an uncompiled program."""
+        backend = swap["backend"]
+        if backend in getattr(self, "_serve_warmed", set()):
+            return
+        off = jnp.asarray(swap["off_host"])
+        if backend.startswith("fused"):
+            tick = self._tick_fn()
+            _stream_tick_fused(
+                swap["scores"], swap["lattices"], swap["jparams"],
+                self._srj, off, off, self._states,
+                block=self.block,
+                interpret=backend == "fused_interpret",
+                out_fmt=self.output,
+                lat_window=tick.keywords["lat_window"])
+        else:                               # xla fallback tick + output jit
+            out, _ = _stream_block_batch(
+                swap["scores"], swap["lattices"], swap["jparams"],
+                self._srj, off, off, self._states, self.block,
+                use_pallas=False)
+            if self.output == "pcm16":
+                _pcm16(out)
+            elif self.output == "ulaw":
+                _ulaw(out)
+        self._serve_warmed.add(backend)
+
     def _serve_build(self):
         """Frontend cycle: sync counters to the RT tick clock, run session
         maintenance, rebuild + upload changed inputs, publish a swap.
@@ -1260,6 +1332,9 @@ class StreamPool:
                 snap_ticks=t_snap,
             )
             self._serve_pub_key = pub_key
+        # a backend change (fused <-> xla fallback) must compile on THIS
+        # thread before the swap becomes adoptable, not on the RT thread
+        self._serve_warm(swap)
         with self._swap_lock:
             self._swap_pending = swap       # newest publish wins
         return True
@@ -1285,36 +1360,28 @@ class StreamPool:
         self._serve_ticks = 0
         self._serve_synced = 0
         self._serve_stop_flag = False
+        self._serve_warmed = set()          # backends with a compiled tick
+        self._serving = True                # gates _feed_lock from HERE on:
+        #                                     feeds must serialize against
+        #                                     the initial build/warm-up too
         self._serve_build()                 # initial publish (forced below)
         with self._swap_lock:
             swap = self._swap_pending
         assert swap is not None, "initial serve build must publish"
-        # Warm the tick program by EXECUTING it once on the published
-        # inputs (outputs discarded — the functions are pure, no donation,
-        # so device state does not advance). Execution, not
-        # .lower().compile(): an AOT-compiled executable is dropped on the
-        # floor and never enters jax.jit's call cache, so the first live
-        # dispatch would compile AGAIN (at best a persistent-cache disk
-        # hit, still a multi-100-ms stall on the RT thread).
+        # the tick program itself was warmed by _serve_build's publish path
         off = jnp.asarray(swap["off_host"])
-        if swap["backend"].startswith("fused"):
-            tick = self._tick_fn()
-            _stream_tick_fused(
-                swap["scores"], swap["lattices"], swap["jparams"],
-                self._srj, off, off, self._states,
-                block=self.block,
-                interpret=swap["backend"] == "fused_interpret",
-                out_fmt=self.output,
-                lat_window=tick.keywords["lat_window"])
-        # warm every incremental-scatter K bucket: a mid-serving compile
-        # RPC stalls even the RT thread (the device client serializes
-        # compile and execute requests — measured 1.9 s dispatch stall,
-        # docs/SERVING.md). idx=0 rewrites row 0 with itself; results are
-        # discarded.
+        # warm every incremental-scatter K bucket the live path can
+        # execute — _prepare_tick allows len(changed) <= min(8, n) and
+        # buckets it to the next power of two, so K=8 is reachable from
+        # n=5 upward (pad rows). A mid-serving compile RPC stalls even
+        # the RT thread (the device client serializes compile and execute
+        # requests — measured 1.9 s dispatch stall, docs/SERVING.md).
+        # idx=0 rewrites row 0 with itself; results are discarded.
         for K in (1, 2, 4, 8):
-            if K > self.n:
+            if (K >> 1) >= min(8, self.n):
                 break
-            rows = jax.tree.map(lambda f: f[:K], swap["scores"])
+            rows = jax.tree.map(
+                lambda f: jnp.repeat(f[:1], K, axis=0), swap["scores"])
             idxK = jnp.zeros((K,), jnp.int32)
             _scatter_rows(swap["scores"], off, off, rows, idxK, idxK, idxK)
         period = float(period) if period else self.block / self.sample_rate
@@ -1393,6 +1460,7 @@ class StreamPool:
         self._serve_stop_flag = True
         th.join(timeout=30)
         self._serve_thread = None
+        self._serving = False
         blk = self.block
         with self._serve_lock:
             adv = (self._serve_ticks - self._serve_synced) * blk
@@ -1417,6 +1485,14 @@ class StreamPool:
     def save(self) -> bytes:
         import io
 
+        if getattr(self, "_serving", False):
+            # session counters sync only at frontend cycles while the RT
+            # thread concurrently replaces _states each tick — a checkpoint
+            # taken mid-serve would pair stale counters with newer DSP
+            # state and resume desynchronized. serve_stop() resyncs.
+            raise RuntimeError(
+                "StreamPool.save() while serve mode is live would snapshot "
+                "a torn state; call serve_stop() first")
         if getattr(self, "_inflight", None) is not None:
             self.drain()   # a checkpoint must not orphan an in-flight tick
         host = SynthState(*(np.asarray(x) for x in self._states))

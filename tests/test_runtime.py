@@ -770,3 +770,93 @@ def test_ulaw_encode_reference_points():
     dec = ulaw_decode(code)
     assert abs(int(dec[1]) - 32124) <= 0   # G.711 max decode magnitude
     assert int(dec[2]) == -32124
+
+
+def test_stream_command_split_across_feed_chunks():
+    """A [command] split across feed() chunk boundaries (network streaming)
+    buffers until terminated — the same incremental contract transcription
+    has — instead of raising mid-stream."""
+    s = StreamSession(voice="plain", language="english")
+    base = s.voice.center_frequency * s.sample_rate
+    s.feed("hello [pit", parse_commands=True)
+    assert s._pending_cmd == "[pit"
+    s.feed("ch:150] there", parse_commands=True)
+    assert s._pending_cmd == ""
+    assert abs(s.voice.center_frequency * s.sample_rate - 150.0) < 1e-3
+    assert abs(base - 150.0) > 1.0      # it actually changed
+    s.flush()
+    a = s.read(44100)
+    assert np.isfinite(a).all() and np.max(np.abs(a)) > 0.01
+
+    # trailing single '[' / ']' are held (possible '[[' / ']]' halves)
+    s2 = StreamSession(voice="plain", language="english")
+    s2.feed("a[", parse_commands=True)
+    s2.feed("[b", parse_commands=True)      # completes the literal '['
+    assert s2._pending_cmd == ""
+    s2.feed("c]", parse_commands=True)
+    assert s2._pending_cmd == "]"
+    s2.feed("]d", parse_commands=True)      # completes the literal ']'
+    assert s2._pending_cmd == ""
+
+
+def test_stream_command_unterminated_at_flush_raises():
+    """flush() is end-of-input: an unterminated command fragment raises
+    loudly, and the fragment stays buffered so the caller may still
+    terminate it with more text."""
+    s = StreamSession(voice="plain", language="english")
+    s.feed("x[rate:2", parse_commands=True)
+    with pytest.raises(ValueError):
+        s.flush()
+    assert s._pending_cmd == "[rate:2"      # preserved across the error
+    s.feed(".5]", parse_commands=True)
+    s.flush()
+    assert abs(s.speaking_rate - 2.5) < 1e-6
+
+
+def test_pool_save_while_serving_raises():
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="xla")
+    pool.feed(0, "hi")
+    pool.flush(0)
+    pool.serve_start(period=9999)
+    try:
+        with pytest.raises(RuntimeError):
+            pool.save()
+    finally:
+        pool.serve_stop()
+    payload = pool.save()               # fine once stopped
+    assert isinstance(payload, bytes) and len(payload) > 0
+
+
+def test_lehmer_skip_negative_distance_raises():
+    from grail_tpu.core.rng import lehmer_skip
+
+    with pytest.raises(ValueError):
+        lehmer_skip(-1)
+    assert lehmer_skip(0) == (1, 0)     # identity
+
+
+def test_serve_start_warms_k8_scatter_bucket():
+    """For 4 < n, a frontend cycle may scatter up to min(8, n) changed
+    sessions, bucketed to K=8 (pad rows). serve_start must warm that
+    shape too — regression: the warm loop broke at K > n, so n in
+    {5, 6, 7} hit an unwarmed K=8 jit shape mid-serving."""
+    from grail_tpu.runtime.stream import StreamPool, _scatter_rows
+
+    pool = StreamPool(6, voice="generic", block=1024,
+                      backend="fused_interpret", pin_elems=24)
+    pool.feed(0, "aeae")
+    pool.flush(0)
+    pool.serve_start(period=9999)
+    try:
+        sc = _scatter_rows._cache_size()
+        for i in range(1, 6):           # 5 changed sessions -> K=8 bucket
+            pool.feed(i, "ea")
+            pool.flush(i)
+        pool._serve_build()
+        np.asarray(pool.serve_tick())
+        assert _scatter_rows._cache_size() == sc
+    finally:
+        pool.serve_stop()
