@@ -11,6 +11,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -33,6 +35,10 @@ def main():
     ap.add_argument("--paths", nargs="*", default=None,
                     help="subset of paths to run (long-form configs: the "
                          "oracle is the cost; paths are cheap)")
+    ap.add_argument("--gold-only", action="store_true",
+                    help="compute + disk-cache the oracle waveform, then "
+                         "exit (CPU pre-warm so a TPU capture window only "
+                         "pays device time)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -65,7 +71,31 @@ def main():
     # chain — gates stub AND contour intonation, any rate
     pelems = text_to_phoneme_elems(args.text, voice, language,
                                    contour=args.contour)
-    gold = oracle_dsp_chain(pelems, spec)
+
+    # The sequential NumPy oracle is platform-independent and dominates
+    # long-form config cost (~8 min per 60 s of audio) — cache it on disk
+    # keyed on the full DSP-chain input so a CPU pre-warm pays it once and
+    # the TPU capture window only measures device paths.
+    import hashlib
+
+    key_parts = [f"{p.phoneme.value}:{p.length!r}:{p.blend_length!r}:"
+                 f"{p.frequency!r}" for p in pelems]
+    key_parts.append(repr(spec))
+    key = hashlib.sha256("|".join(key_parts).encode()).hexdigest()[:24]
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".oracle_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_file = os.path.join(cache_dir, key + ".npy")
+    if os.path.exists(cache_file):
+        gold = np.load(cache_file)
+    else:
+        gold = oracle_dsp_chain(pelems, spec)
+        np.save(cache_file, gold)
+    if args.gold_only:
+        print(json.dumps({"bench": "fidelity", "gold_cached": key,
+                          "seconds": round(len(gold) / float(spec.sample_rate), 1),
+                          "label": args.label}), flush=True)
+        return
 
     kw = dict(voice=args.voice, language=args.language,
               contour=args.contour, sample_rate=rate)

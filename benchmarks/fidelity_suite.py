@@ -78,6 +78,11 @@ def main():
                     help="run every path for every config (slow)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of config labels")
+    ap.add_argument("--warm", action="store_true",
+                    help="CPU pre-warm: compute + disk-cache every "
+                         "config's oracle waveform (.oracle_cache/) and "
+                         "exit — a later --tpu run then only pays device "
+                         "time inside the tunnel window")
     args = ap.parse_args()
 
     fast_paths = (["fused", "xla_block"] if args.tpu
@@ -87,9 +92,11 @@ def main():
             continue
         cmd = [sys.executable, os.path.join(HERE, "fidelity.py"),
                "--label", label] + extra
-        if args.tpu:
+        if args.warm:
+            cmd.append("--gold-only")
+        elif args.tpu:
             cmd.append("--tpu")
-        if not (all_paths or args.all):
+        if not args.warm and not (all_paths or args.all):
             cmd += ["--paths"] + fast_paths
         r = subprocess.run(cmd, cwd=os.path.dirname(HERE))
         if r.returncode != 0:

@@ -860,3 +860,45 @@ def test_serve_start_warms_k8_scatter_bucket():
         assert _scatter_rows._cache_size() == sc
     finally:
         pool.serve_stop()
+
+
+def test_stream_command_parser_partial_split_fuzz():
+    """Invariant: feeding a string through the incremental (partial=True)
+    path split at EVERY cut point yields exactly the chunks of a whole
+    parse, and raises iff the whole parse raises — the session's
+    chunk-buffering can never reorder, drop, or duplicate input."""
+    import random
+
+    from grail_tpu.runtime.stream import _parse_commands
+
+    def merged(chunks):
+        out = []
+        for kind, val in chunks:
+            if kind == "text" and out and out[-1][0] == "text":
+                out[-1] = ("text", out[-1][1] + val)
+            else:
+                out.append((kind, val))
+        return out
+
+    def incremental(parts):
+        buf, out = "", []
+        for p in parts:
+            chunks, buf = _parse_commands(buf + p, partial=True)
+            out += chunks
+        out += _parse_commands(buf)         # end of input: strict
+        return merged(out)
+
+    rng = random.Random(1)
+    alphabet = "a[]:ex "
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        try:
+            whole = merged(_parse_commands(s))
+        except ValueError:
+            whole = None
+        for cut in range(len(s) + 1):
+            try:
+                got = incremental([s[:cut], s[cut:]])
+            except ValueError:
+                got = None
+            assert got == whole, (s, cut, got, whole)
