@@ -1147,29 +1147,8 @@ class StreamPool:
         srj = self._srj
         pcm_in_tick = False
         if backend.startswith("fused"):
-            from ..synth.kernel_fused import _n_lat_rows
-
-            # output conversion folded into the tick jit (one device
-            # execution per tick) + the shifted lattice truncated to
-            # the rows this block can touch: base span + per-chunk
-            # kernel read span (a full-window gather costs ~29 ms/tick
-            # on TPU at W=1024). Same folding on the mesh-sharded tick.
-            lat_win = _n_lat_rows(blk) + _n_lat_rows(128) + 2
             pcm_in_tick = self.output != "f32"
-            if self.mesh is not None:
-                tick = self._sharded_ticks.get(blk)
-                if tick is None:
-                    from ..parallel.sharded import sharded_stream_tick_fn
-
-                    tick = sharded_stream_tick_fn(
-                        self.mesh, blk, backend == "fused_interpret",
-                        out_fmt=self.output, lat_window=lat_win)
-                    self._sharded_ticks[blk] = tick
-            else:
-                tick = functools.partial(
-                    _stream_tick_fused, block=blk,
-                    interpret=backend == "fused_interpret",
-                    out_fmt=self.output, lat_window=lat_win)
+            tick = self._tick_program(blk, backend)
             out, states, off2, joff2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
                 dev["offsets"], dev["joffsets"], self._states)
@@ -1258,14 +1237,32 @@ class StreamPool:
     # reference's cpal callback implies (examples/interactive.rs:41-70):
     # the audio callback pulls; the synthesis frontend runs elsewhere.
 
-    def _tick_fn(self):
+    def _tick_program(self, blk: int, backend: str):
+        """The fused tick dispatcher for `blk` samples on this pool's
+        device layout: the mesh-sharded shard_map program when the pool is
+        sharded (cached per block size), else the single-device
+        _stream_tick_fused jit. Output conversion (pcm16/µ-law) and the
+        lattice-window truncation are folded into either program — one
+        device execution per tick. Same callable for read_blocks,
+        serve_tick, and _serve_warm, so the warmed program IS the
+        dispatched program."""
         from ..synth.kernel_fused import _n_lat_rows
 
+        lat_win = _n_lat_rows(blk) + _n_lat_rows(128) + 2
+        if self.mesh is not None:
+            tick = self._sharded_ticks.get(blk)
+            if tick is None:
+                from ..parallel.sharded import sharded_stream_tick_fn
+
+                tick = sharded_stream_tick_fn(
+                    self.mesh, blk, backend == "fused_interpret",
+                    out_fmt=self.output, lat_window=lat_win)
+                self._sharded_ticks[blk] = tick
+            return tick
         return functools.partial(
-            _stream_tick_fused, block=self.block,
-            interpret=self.backend == "fused_interpret",
-            out_fmt=self.output,
-            lat_window=_n_lat_rows(self.block) + _n_lat_rows(128) + 2)
+            _stream_tick_fused, block=blk,
+            interpret=backend == "fused_interpret",
+            out_fmt=self.output, lat_window=lat_win)
 
     def _serve_warm(self, swap):
         """Compile-warm the tick program for `swap`'s backend by EXECUTING
@@ -1285,14 +1282,9 @@ class StreamPool:
             return
         off = jnp.asarray(swap["off_host"])
         if backend.startswith("fused"):
-            tick = self._tick_fn()
-            _stream_tick_fused(
+            self._tick_program(self.block, backend)(
                 swap["scores"], swap["lattices"], swap["jparams"],
-                self._srj, off, off, self._states,
-                block=self.block,
-                interpret=backend == "fused_interpret",
-                out_fmt=self.output,
-                lat_window=tick.keywords["lat_window"])
+                self._srj, off, off, self._states)
         else:                               # xla fallback tick + output jit
             out, _ = _stream_block_batch(
                 swap["scores"], swap["lattices"], swap["jparams"],
@@ -1348,9 +1340,6 @@ class StreamPool:
         any thread (they take the frontend lock, never the RT path)."""
         import threading
 
-        if self.mesh is not None:
-            raise NotImplementedError("serve mode is single-device for "
-                                      "now; use read_block with a mesh")
         if getattr(self, "_serve_thread", None) is not None:
             return
         self._serve_lock = threading.Lock()
@@ -1428,7 +1417,8 @@ class StreamPool:
                 joffsets=jnp.asarray(swap["joff_host"] + delta))
         dev = self._serve_dev
         if dev["backend"].startswith("fused"):
-            out, states, off2, joff2 = self._tick_fn()(
+            out, states, off2, joff2 = self._tick_program(
+                self.block, dev["backend"])(
                 dev["scores"], dev["lattices"], dev["jparams"], self._srj,
                 dev["offsets"], dev["joffsets"], self._states)
             dev["offsets"], dev["joffsets"] = off2, joff2

@@ -120,3 +120,45 @@ def test_sharded_stream_pool_rejects_bad_config():
         StreamPool(6, mesh=mesh, backend="fused_interpret")  # 6 % 4 != 0
     with pytest.raises(ValueError):
         StreamPool(8, mesh=mesh, backend="xla")
+
+
+def test_sharded_pool_serve_mode_matches_read_block():
+    """Multi-chip SERVING in serve mode: the async-frontend split runs the
+    mesh-sharded tick program and matches the sharded read_block path
+    bit-exactly (same program, same inputs — the RT thread only dispatches).
+    Previously serve_start raised NotImplementedError on a mesh."""
+    from grail_tpu.runtime.stream import StreamPool
+
+    N, blk, ticks = 8, 1024, 6
+    texts = ["hello", "world", "aeio", "tpu go"]
+    mesh = make_mesh(4, 1)
+
+    def mk():
+        pool = StreamPool(N, voice="plain", language="english", block=blk,
+                          backend="fused_interpret", mesh=mesh)
+        for i, t in enumerate(texts):
+            pool.feed(i, t)
+            pool.flush(i)
+        return pool
+
+    ref_pool = mk()
+    ref = [np.asarray(ref_pool.read_block()) for _ in range(ticks)]
+
+    pool = mk()
+    pool.serve_start(period=9999)   # frontend idles; builds driven explicitly
+    try:
+        got = []
+        for k in range(ticks):
+            if k == 3:
+                pool.feed(1, " more")
+                pool.flush(1)
+                pool._serve_build()
+            got.append(np.asarray(pool.serve_tick()))
+    finally:
+        pool.serve_stop()
+
+    for k in range(3):              # identical pools before the extra feed
+        np.testing.assert_array_equal(got[k], ref[k])
+    for k in range(ticks):          # the feed only ever touches session 1
+        np.testing.assert_array_equal(
+            got[k][[0, 2, 3, 4, 5, 6, 7]], ref[k][[0, 2, 3, 4, 5, 6, 7]])
