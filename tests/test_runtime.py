@@ -902,3 +902,35 @@ def test_stream_command_parser_partial_split_fuzz():
             except ValueError:
                 got = None
             assert got == whole, (s, cut, got, whole)
+
+
+def test_serve_mode_mid_serving_backend_downgrade(monkeypatch):
+    """A publish that downgrades the backend (fused_supported's
+    pathological-score fallback) compiles the xla tick + output jit on the
+    FRONTEND thread before the swap becomes adoptable; serve_tick then
+    dispatches it without a mid-RT compile and output conversion still
+    applies."""
+    import grail_tpu.synth.kernel_fused as kf
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="fused_interpret", output="pcm16",
+                      pin_elems=64)
+    pool.feed(0, "hello")
+    pool.flush(0)
+    pool.serve_start(period=9999)
+    try:
+        a = np.asarray(pool.serve_tick())
+        assert a.dtype == np.int16
+        assert pool._serve_dev["backend"] == "fused_interpret"
+        monkeypatch.setattr(kf, "fused_supported", lambda *a, **k: False)
+        pool.feed(1, "go on")
+        pool.flush(1)
+        assert pool._serve_build()          # publish with the downgrade
+        assert "xla" in pool._serve_warmed  # warmed on the frontend thread
+        b = np.asarray(pool.serve_tick())
+        assert pool._serve_dev["backend"] == "xla"
+        assert b.dtype == np.int16 and np.isfinite(b.astype(np.float64)).all()
+        assert np.abs(b).max() > 0          # real audio through the fallback
+    finally:
+        pool.serve_stop()
