@@ -32,7 +32,7 @@ step serving_pool 2400 python benchmarks/latency.py --tpu --pool 128 \
 step serving_tick 1200 python benchmarks/serving.py
 step fidelity 5400 python benchmarks/fidelity_suite.py --tpu
 step throughput 2400 python benchmarks/throughput.py --batches 16,64,128,256,512,1024
-step throughput_attr 1800 python benchmarks/throughput.py --attr --batches 256
+step throughput_attr 2400 python benchmarks/throughput.py --attr --batches 256,512
 
 # Assemble the repo-root round artifacts (JSONL, same shape as the r02
 # files) so the round-end auto-commit picks them up even if no one is
