@@ -49,6 +49,12 @@ def _load():
                 lib.gn_encode_wav.argtypes = [
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                     ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+                lib.gn_drift_boundaries.restype = None
+                lib.gn_drift_boundaries.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.c_float, ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_float)]
                 _lib = lib
             except (OSError, AttributeError):
                 # AttributeError: a stale .so missing a symbol — degrade to
@@ -139,4 +145,28 @@ def native_encode_wav(data: np.ndarray, sample_rate: int) -> Optional[bytes]:
     return bytes(out[:n])
 
 
-__all__ = ["available", "NativeRuleset", "native_transcribe", "native_encode_wav"]
+def native_drift_boundaries(lengths: np.ndarray, sample_rate: float,
+                            t0: float = 0.0):
+    """Reference-sequencer drift simulation (gn_drift_boundaries): element
+    end-samples of the per-sample f32 countdown, bit-identical to the NumPy
+    twin in synth/score.py:_reference_boundary_samples but ~50x faster —
+    this is the serving frontend's per-feed host cost. Returns
+    (counts_cum int64 [E], residuals f32 [E]), or None without the lib."""
+    lib = _load()
+    if lib is None or getattr(lib, "gn_drift_boundaries", None) is None:
+        return None
+    lengths = np.ascontiguousarray(lengths, np.float32)
+    e = len(lengths)
+    counts = np.empty(e, np.int64)
+    residuals = np.empty(e, np.float32)
+    if e:
+        lib.gn_drift_boundaries(
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), e,
+            ctypes.c_float(float(sample_rate)), ctypes.c_float(float(t0)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            residuals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return counts, residuals
+
+
+__all__ = ["available", "NativeRuleset", "native_transcribe",
+           "native_encode_wav", "native_drift_boundaries"]

@@ -370,6 +370,16 @@ def _scatter_rows(stack: Score, offsets, joffsets, rows: Score,
 
 
 @jax.jit
+def _scatter_lat_rows(stack: JitterLattice, rows: JitterLattice, idx):
+    """Scatter K slid sessions' jitter-lattice rows into the device-resident
+    [N, cells, ...] stack. Staggered window slides mean one session slides
+    per tick in steady state — without this, ANY slide re-stacked and
+    re-uploaded every session's multi-MB lattice window (measured ~1.3 s
+    per slid tick at N=128 on the serving frontend)."""
+    return jax.tree.map(lambda o, r: o.at[idx].set(r), stack, rows)
+
+
+@jax.jit
 def _ulaw(audio):
     """f32 [-1,1] -> G.711 mu-law uint8 (see _ulaw_body)."""
     return _ulaw_body(audio)
@@ -1018,17 +1028,49 @@ class StreamPool:
             return self._dev      # steady state: nothing to upload
 
         if lat_key != self._lat_key:
-            for s in self.sessions:
-                s._lattice.ensure(cells)
-            lattices = JitterLattice(
-                np.stack([s._lattice.pitch[:cells] for s in self.sessions]),
-                np.stack([s._lattice.formant[:cells] for s in self.sessions]),
-                np.stack([s._lattice.amp[:cells] for s in self.sessions]),
-            )
+            prev_lat = self._lat_key
+            # Incremental lattice scatter: window slides are staggered, so
+            # in steady state ONE session's version bumps per tick — upload
+            # just that session's window rows and scatter on device (the
+            # full [N, cells, ...] restack + re-upload is the multi-second
+            # frontend spike at large N).
+            changed_lat = ([i for i in range(self.n)
+                            if prev_lat[1][i] != lat_key[1][i]]
+                           if (prev_lat is not None and self._lat_dev
+                               is not None and prev_lat[0] == cells)
+                           else None)
+            if changed_lat is not None and 0 < len(changed_lat) <= min(8, self.n):
+                for i in changed_lat:
+                    self.sessions[i]._lattice.ensure(cells)
+                K = _scatter_bucket(len(changed_lat))
+                idx = np.asarray(
+                    changed_lat + changed_lat[:1] * (K - len(changed_lat)),
+                    np.int32)
+                rows = JitterLattice(
+                    np.stack([self.sessions[i]._lattice.pitch[:cells]
+                              for i in idx]),
+                    np.stack([self.sessions[i]._lattice.formant[:cells]
+                              for i in idx]),
+                    np.stack([self.sessions[i]._lattice.amp[:cells]
+                              for i in idx]),
+                )
+                self._lat_dev = _scatter_lat_rows(
+                    self._lat_dev, jax.device_put(rows), jnp.asarray(idx))
+            else:
+                for s in self.sessions:
+                    s._lattice.ensure(cells)
+                lattices = JitterLattice(
+                    np.stack([s._lattice.pitch[:cells]
+                              for s in self.sessions]),
+                    np.stack([s._lattice.formant[:cells]
+                              for s in self.sessions]),
+                    np.stack([s._lattice.amp[:cells]
+                              for s in self.sessions]),
+                )
+                self._lat_dev = jax.device_put(lattices)
             # versions may have been bumped by ensure() just above
             self._lat_key = (cells,
                              tuple(s._lattice.version for s in self.sessions))
-            self._lat_dev = jax.device_put(lattices)
 
         if key != self._cache_key or self._dev is None:
             from ..synth.score import stack_scores
@@ -1373,6 +1415,9 @@ class StreamPool:
                 lambda f: jnp.repeat(f[:1], K, axis=0), swap["scores"])
             idxK = jnp.zeros((K,), jnp.int32)
             _scatter_rows(swap["scores"], off, off, rows, idxK, idxK, idxK)
+            lrows = jax.tree.map(
+                lambda f: jnp.repeat(f[:1], K, axis=0), swap["lattices"])
+            _scatter_lat_rows(swap["lattices"], lrows, idxK)
         period = float(period) if period else self.block / self.sample_rate
         self._serve_period = period
 

@@ -42,6 +42,25 @@ class Score(NamedTuple):
 
 def _reference_boundary_samples(lengths, sample_rate: float,
                                 t0: float = 0.0):
+    """Exact element end-samples of the reference's f32 countdown —
+    dispatches to the native C++ loop (native/grail_native.cpp:
+    gn_drift_boundaries, ~50x faster; this is the serving frontend's
+    per-feed host cost) with the NumPy twin below as fallback and test
+    oracle (tests/test_native.py pins them bit-identical)."""
+    try:
+        from ..runtime.native import native_drift_boundaries
+    except ImportError:           # pragma: no cover - packaging edge
+        native_drift_boundaries = None
+    if native_drift_boundaries is not None:
+        out = native_drift_boundaries(
+            np.asarray(lengths, np.float32), sample_rate, t0)
+        if out is not None:
+            return out
+    return _reference_boundary_samples_np(lengths, sample_rate, t0)
+
+
+def _reference_boundary_samples_np(lengths, sample_rate: float,
+                                   t0: float = 0.0):
     """Exact element end-samples of the reference's f32 countdown.
 
     The reference Sequencer decrements `time` by 1/sr in f32 EVERY sample

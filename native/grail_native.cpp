@@ -134,6 +134,41 @@ int32_t gn_transcribe(void* handle, const char* text, int32_t text_len,
     }
 }
 
+// Sequencer drift simulation --------------------------------------------------
+//
+// Exact element end-samples of the reference's f32 countdown: the reference
+// Sequencer decrements `time` by 1/sr in float32 EVERY sample
+// (src/lib.rs:859-887), so element boundaries drift several samples/second
+// off the drift-free floor(cumsum*sr). The Python frontend retargets scores
+// to these boundaries (synth/score.py:_reference_boundary_samples); this is
+// the same per-sample loop in native code — sequential IEEE-754 float32 ops
+// (SSE2 scalar; no FMA pattern exists in (t-dt)+L so -O2 cannot contract),
+// bit-identical to NumPy's f32 subtract.accumulate, ~50x faster on the
+// serving frontend's feed path. Entry step per element: t = (t - dt) + L
+// (same op order as src/lib.rs:864-887); residual t < 0 carries into the
+// next element. counts_cum[i] = cumulative end sample of element i;
+// residuals[i] = countdown residual after element i (the t0 of a stream
+// continuing there).
+
+void gn_drift_boundaries(const float* lengths, int64_t e, float sr, float t0,
+                         int64_t* counts_cum, float* residuals) {
+    const float dt = 1.0f / sr;
+    float t = t0;
+    int64_t cum = 0;
+    for (int64_t i = 0; i < e; ++i) {
+        t = (t - dt) + lengths[i];
+        int64_t count = 1;                   // the entry sample
+        // negated comparison so a NaN length terminates instead of spinning
+        while (!(t - dt < 0.0f) && t == t) {
+            t = t - dt;
+            ++count;
+        }
+        cum += count;
+        counts_cum[i] = cum;
+        residuals[i] = t;
+    }
+}
+
 // WAV encoding ---------------------------------------------------------------
 //
 // 16-bit mono PCM with the reference's `(x * i16::MAX) as i16` truncation

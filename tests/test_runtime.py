@@ -934,3 +934,29 @@ def test_serve_mode_mid_serving_backend_downgrade(monkeypatch):
         assert np.abs(b).max() > 0          # real audio through the fallback
     finally:
         pool.serve_stop()
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_drift_boundaries_matches_numpy():
+    """gn_drift_boundaries is bit-identical to the NumPy f32 drift twin —
+    counts AND residual bits — across random lengths/rates/entry residuals
+    (the boundary-retarget machinery depends on exact agreement: one
+    sample off permanently displaces the carrier phase, docs/PARITY.md)."""
+    from grail_tpu.synth.score import _reference_boundary_samples_np
+
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        E = int(rng.integers(1, 16))
+        lengths = (rng.choice(
+            [0.5, 0.25, 0.0571, 0.012, 0.0001, 0.9999, 1.7, 0.03], size=E)
+            * rng.uniform(0.5, 1.5)).astype(np.float32)
+        sr = float(rng.choice([44100.0, 22050.0, 48000.0]))
+        t0 = np.float32(rng.uniform(-0.00002, 0.0005))
+        a_c, a_r = native.native_drift_boundaries(lengths, sr, float(t0))
+        b_c, b_r = _reference_boundary_samples_np(lengths, sr, t0=t0)
+        assert np.array_equal(a_c, b_c), trial
+        assert np.array_equal(a_r.view(np.uint32),
+                              np.asarray(b_r).view(np.uint32)), trial
+    # zero-length input
+    c, r = native.native_drift_boundaries(np.empty(0, np.float32), 44100.0)
+    assert len(c) == 0 and len(r) == 0
