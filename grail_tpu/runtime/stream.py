@@ -598,18 +598,48 @@ class StreamSession:
         return self._boundaries()[0]
 
     def _boundaries(self):
-        """(end_samples [E] int64, drift residuals [E] f32), cached on _rev."""
+        """(end_samples [E] int64, drift residuals [E] f32), cached on _rev.
+
+        Incremental across revisions: the drift sim is a left-to-right f32
+        fold whose per-element residuals ARE the continuation seeds, so a
+        mutation that only appends/truncates elements (feed, idle-horizon
+        append, tail trim — the common serving paths) re-simulates ONLY
+        past the longest unchanged prefix. A rebase changes _drift_t0 and
+        drops the front, which resets the prefix — the remaining list is
+        short then anyway."""
         from ..synth.score import _reference_boundary_samples
 
         key = self._rev
         if self._endn_key != key:
-            if self._elements:
-                self._endn, self._resid = _reference_boundary_samples(
-                    [e.length for e in self._elements], self.sample_rate,
-                    t0=float(self._drift_t0))
-            else:
+            lengths = np.asarray([e.length for e in self._elements],
+                                 np.float32)
+            prev = getattr(self, "_endn_lengths", None)
+            m = 0
+            if (prev is not None and len(prev)
+                    and getattr(self, "_endn_t0", None)
+                    == np.float32(self._drift_t0).tobytes()):
+                k = min(len(prev), len(lengths))
+                neq = np.nonzero(prev[:k].view(np.uint32)
+                                 != lengths[:k].view(np.uint32))[0]
+                m = int(neq[0]) if len(neq) else k
+            if len(lengths) == 0:
                 self._endn = np.zeros(1, np.int64)
                 self._resid = np.zeros(0, np.float32)
+            elif m == len(lengths):          # pure truncation
+                self._endn = self._endn[:m]
+                self._resid = self._resid[:m]
+            elif m > 0:
+                endn_sfx, resid_sfx = _reference_boundary_samples(
+                    lengths[m:], self.sample_rate,
+                    t0=float(self._resid[m - 1]))
+                self._endn = np.concatenate(
+                    [self._endn[:m], endn_sfx + self._endn[m - 1]])
+                self._resid = np.concatenate([self._resid[:m], resid_sfx])
+            else:
+                self._endn, self._resid = _reference_boundary_samples(
+                    lengths, self.sample_rate, t0=float(self._drift_t0))
+            self._endn_lengths = lengths
+            self._endn_t0 = np.float32(self._drift_t0).tobytes()
             self._endn_key = key
             self._score_cache.clear()
         return self._endn, self._resid

@@ -960,3 +960,30 @@ def test_native_drift_boundaries_matches_numpy():
     # zero-length input
     c, r = native.native_drift_boundaries(np.empty(0, np.float32), 44100.0)
     assert len(c) == 0 and len(r) == 0
+
+
+def test_incremental_boundaries_match_full_recompute():
+    """_boundaries' longest-common-prefix reuse (feed/append/trim resume
+    the drift sim from the cached residual) is bit-identical to a fresh
+    full simulation after any mutation sequence."""
+    from grail_tpu.synth.score import _reference_boundary_samples
+
+    rng = np.random.default_rng(3)
+    s = StreamSession(voice="plain", language="english")
+    texts = ["hello ", "world of ", "synthesis ", "go on and on ", "stop "]
+    for step in range(40):
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            s.feed(texts[int(rng.integers(0, len(texts)))])
+        elif op == 1:
+            s.read(int(rng.integers(1000, 60000)))  # horizon/rebase/trim
+        else:
+            s.flush()
+        endn, resid = s._boundaries()
+        if s._elements:
+            e2, r2 = _reference_boundary_samples(
+                [e.length for e in s._elements], s.sample_rate,
+                t0=float(s._drift_t0))
+            assert np.array_equal(endn, e2), step
+            assert np.array_equal(np.asarray(resid).view(np.uint32),
+                                  np.asarray(r2).view(np.uint32)), step
