@@ -77,12 +77,16 @@ def main(argv=None) -> int:
         for line in sys.stdin:
             try:
                 session.feed(line.rstrip("\n") + " ", parse_commands=True)
+                # flush inside the try: an unterminated command fragment at
+                # end-of-line raises here (strict grammar) and must keep
+                # the REPL alive just like a bad command
+                session.flush()
             except (ValueError, KeyError) as e:
                 # bad command ([typo:..], unknown voice/lang, ...) — report
                 # and keep the stream alive, like any REPL
                 print(f"error: {e}", file=sys.stderr)
-                continue
-            session.flush()
+                session._pending_cmd = ""   # line-oriented REPL: drop the
+                continue                    # fragment, the line is done
             # drain everything pending plus a short tail
             n = int(session.pending_seconds * sr) + session.block
             emit(session.read(n))

@@ -163,9 +163,19 @@ def device_available() -> bool:
 
 def open_sink(sample_rate: float, block: int = 1024) -> CallbackSink:
     """A device sink when real audio hardware exists, else the paced mock
-    (same pull contract and deadline counters either way)."""
-    mode = "device" if device_available() else "paced"
-    return CallbackSink(sample_rate, block, mode=mode)
+    (same pull contract and deadline counters either way). Stream
+    construction can fail even when a device is listed (claimed by another
+    process, PortAudio backend mismatch) — degrade to paced, don't crash
+    --play."""
+    if device_available():
+        try:
+            return CallbackSink(sample_rate, block, mode="device")
+        except Exception as e:          # pragma: no cover - needs hardware
+            import sys
+
+            print(f"audio device unavailable ({e}); falling back to the "
+                  "paced sink", file=sys.stderr)
+    return CallbackSink(sample_rate, block, mode="paced")
 
 
 __all__ = ["CallbackSink", "device_available", "open_sink"]

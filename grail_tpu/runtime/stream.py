@@ -336,11 +336,14 @@ def _ulaw_body(audio):
     pcm = _pcm16_body(audio).astype(jnp.int32)
     sign = jnp.where(pcm < 0, jnp.int32(0x80), jnp.int32(0))
     m = jnp.minimum(jnp.abs(pcm), 32635) + jnp.int32(0x84)
-    # exponent = position of the MSB of m relative to bit 7 (m >= 0x84 so
-    # log2 is safe; f32 log2 of an int < 2^16 resolves the floor exactly
-    # away from powers of two, and AT a power of two log2 is exact)
-    e = jnp.clip(jnp.floor(jnp.log2(m.astype(jnp.float32))).astype(jnp.int32)
-                 - 7, 0, 7)
+    # exponent = position of the MSB of m relative to bit 7, in INTEGER
+    # arithmetic: a comparison ladder (m >= 2^(k+8) for k in 0..6) —
+    # hardware log2/exp are polynomial approximations on TPU (not
+    # correctly rounded), so a float path could floor 7.9999995 to 7 and
+    # shift a whole segment at boundaries. 7 vectorized compares, VPU-cheap.
+    e = jnp.zeros_like(m)
+    for k in range(7):
+        e = e + (m >= jnp.int32(1 << (k + 8))).astype(jnp.int32)
     mant = jnp.right_shift(m, e + 3) & 0xF
     return (~(sign | jnp.left_shift(e, 4) | mant) & 0xFF).astype(jnp.uint8)
 
@@ -477,8 +480,17 @@ class StreamSession:
         loud error.
         """
         if parse_commands:
-            chunks, self._pending_cmd = _parse_commands(
-                self._pending_cmd + text, partial=True)
+            combined = self._pending_cmd + text
+            try:
+                chunks, tail = _parse_commands(combined, partial=True)
+            except ValueError:
+                # atomic: a malformed command consumes NOTHING — the whole
+                # buffer (fragment + this chunk's text) stays pending so no
+                # input is lost; the caller may recover by feeding the
+                # missing ']' (or clearing _pending_cmd)
+                self._pending_cmd = combined
+                raise
+            self._pending_cmd = tail
             for kind, payload in chunks:
                 if kind == "text":
                     self.feed(payload)
@@ -1345,12 +1357,18 @@ class StreamPool:
         first live dispatch would compile AGAIN (at best a persistent-cache
         disk hit, still a multi-100-ms stall on the RT thread).
 
-        Called from serve_start and — for a mid-serving backend change
-        (the fused_supported pathological-score downgrade) — from the
-        frontend thread before the swap publishes, so the RT thread never
-        dispatches an uncompiled program."""
+        Called from serve_start and — for a mid-serving backend OR jit
+        SHAPE change (the fused_supported pathological-score downgrade, an
+        E-bucket growth past pin_elems, a lattice cell-count change) —
+        from the frontend thread before the swap publishes, so the RT
+        thread never dispatches an uncompiled program."""
         backend = swap["backend"]
-        if backend in getattr(self, "_serve_warmed", set()):
+        # keyed on (backend, input shapes): a new score/lattice shape is a
+        # new compile even with the backend unchanged
+        key = (backend, tuple(
+            (tuple(leaf.shape), str(leaf.dtype)) for leaf in
+            jax.tree.leaves((swap["scores"], swap["lattices"]))))
+        if key in getattr(self, "_serve_warmed", set()):
             return
         off = jnp.asarray(swap["off_host"])
         if backend.startswith("fused"):
@@ -1366,7 +1384,7 @@ class StreamPool:
                 _pcm16(out)
             elif self.output == "ulaw":
                 _ulaw(out)
-        self._serve_warmed.add(backend)
+        self._serve_warmed.add(key)
 
     def _serve_build(self):
         """Frontend cycle: sync counters to the RT tick clock, run session
@@ -1395,10 +1413,16 @@ class StreamPool:
                     [s._jitter_pos for s in self.sessions], np.int32),
                 snap_ticks=t_snap,
             )
-            self._serve_pub_key = pub_key
-        # a backend change (fused <-> xla fallback) must compile on THIS
-        # thread before the swap becomes adoptable, not on the RT thread
+        # a backend or input-shape change must compile on THIS thread
+        # before the swap becomes adoptable, not on the RT thread. The
+        # publish key commits only AFTER the warm succeeds: a transient
+        # warm failure (tunnel error, OOM) leaves pub_key unchanged so the
+        # next frontend cycle retries this publish instead of treating it
+        # as steady state and never serving the pending feeds. pub_key is
+        # only ever touched by the frontend thread (and serve_start before
+        # the thread exists), so writing it outside _serve_lock is safe.
         self._serve_warm(swap)
+        self._serve_pub_key = pub_key
         with self._swap_lock:
             self._swap_pending = swap       # newest publish wins
         return True
@@ -1573,6 +1597,14 @@ class StreamPool:
     def load(self, payload: bytes) -> None:
         import io
 
+        if getattr(self, "_serving", False):
+            # mirror of the save() guard: the RT thread would overwrite the
+            # restored _states on its next tick while _serve_dev kept
+            # dispatching the pre-load scores/offsets — a silently torn
+            # restore. serve_stop() first, load, then serve_start again.
+            raise RuntimeError(
+                "StreamPool.load() while serve mode is live would be "
+                "clobbered by the RT thread; call serve_stop() first")
         z = np.load(io.BytesIO(payload))
         n, block = (int(x) for x in z["pool_meta"])
         if n != self.n:

@@ -927,7 +927,7 @@ def test_serve_mode_mid_serving_backend_downgrade(monkeypatch):
         pool.feed(1, "go on")
         pool.flush(1)
         assert pool._serve_build()          # publish with the downgrade
-        assert "xla" in pool._serve_warmed  # warmed on the frontend thread
+        assert any(k[0] == "xla" for k in pool._serve_warmed)  # frontend-warmed
         b = np.asarray(pool.serve_tick())
         assert pool._serve_dev["backend"] == "xla"
         assert b.dtype == np.int16 and np.isfinite(b.astype(np.float64)).all()
@@ -987,3 +987,88 @@ def test_incremental_boundaries_match_full_recompute():
             assert np.array_equal(endn, e2), step
             assert np.array_equal(np.asarray(resid).view(np.uint32),
                                   np.asarray(r2).view(np.uint32)), step
+
+
+def test_feed_malformed_command_is_atomic():
+    """A malformed command raises WITHOUT consuming anything: the fragment
+    plus the chunk's text stay buffered, so no input is silently lost and
+    a later corrective feed can recover."""
+    s = StreamSession(voice="plain", language="english")
+    s.feed("[pit", parse_commands=True)
+    with pytest.raises(ValueError):
+        s.feed("ch 00] hello there", parse_commands=True)
+    assert s._pending_cmd == "[pitch 00] hello there"   # nothing lost
+    s._pending_cmd = ""                                 # caller recovery
+    s.feed("[pitch:150] hello there", parse_commands=True)
+    s.flush()
+    assert np.max(np.abs(s.read(44100))) > 0.01
+
+
+def test_pool_load_while_serving_raises():
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="xla")
+    pool.feed(0, "hi")
+    pool.flush(0)
+    payload = pool.save()
+    pool.serve_start(period=9999)
+    try:
+        with pytest.raises(RuntimeError):
+            pool.load(payload)
+    finally:
+        pool.serve_stop()
+    pool.load(payload)                     # fine once stopped
+
+
+def test_ulaw_exponent_integer_ladder_at_segment_edges():
+    """The integer comparison-ladder exponent equals floor(log2(m))-7 for
+    EVERY reachable magnitude — exactly at and around each segment edge
+    (where an approximate hardware log2 could floor one off)."""
+    import jax.numpy as jnp
+
+    from grail_tpu.runtime.stream import _ulaw_body, ulaw_decode
+
+    # all segment-boundary pcm magnitudes +-2 (m = |pcm|+0x84 crosses 2^k)
+    edges = []
+    for k in range(8, 15):
+        c = (1 << k) - 0x84
+        edges += [c - 2, c - 1, c, c + 1, c + 2]
+    pcm = np.array([min(max(v, 0), 32767) for v in edges], np.int32)
+    x = (pcm.astype(np.float32) / 32767.0)
+    code = np.asarray(_ulaw_body(jnp.asarray(x)))
+    m = np.minimum(np.abs(pcm), 32635) + 0x84
+    e_ref = np.clip(np.floor(np.log2(m.astype(np.float64))).astype(np.int32)
+                    - 7, 0, 7)
+    e_got = ((~code.astype(np.int32)) >> 4) & 0x7
+    np.testing.assert_array_equal(e_got, e_ref)
+    # decode round-trip stays within one mu-law step
+    dec = ulaw_decode(code).astype(np.int64)
+    step = (np.abs(pcm) + 132) // 16 + 4
+    assert np.all(np.abs(dec - pcm) <= step)
+
+
+def test_serve_warm_covers_shape_changes():
+    """A mid-serving jit SHAPE change (E-bucket growth) re-warms on the
+    frontend thread: after the publish, the RT tick dispatches the new
+    shape without adding a compiled-shape cache entry."""
+    from grail_tpu.runtime.stream import StreamPool, _stream_tick_fused
+
+    pool = StreamPool(2, voice="plain", language="english", block=1024,
+                      backend="fused_interpret", pin_elems=16)
+    pool.feed(0, "hi")
+    pool.flush(0)
+    pool.serve_start(period=9999)
+    try:
+        np.asarray(pool.serve_tick())
+        E0 = pool._cache_key[0]
+        pool.feed(0, "a much longer feed that grows the element bucket "
+                     "past its pin for sure, yes indeed it does grow")
+        pool.flush(0)
+        assert pool._serve_build()
+        assert pool._cache_key[0] > E0      # the bucket actually grew
+        tc = _stream_tick_fused._cache_size()
+        np.asarray(pool.serve_tick())       # dispatches the NEW shape
+        assert _stream_tick_fused._cache_size() == tc   # no RT compile
+    finally:
+        pool.serve_stop()
