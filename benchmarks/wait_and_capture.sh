@@ -14,10 +14,25 @@ np.asarray(jax.device_put(np.zeros(8, np.int8)))
 EOF
 }
 
-echo "$(date -u +%H:%M:%S) waiting for tunnel..." | tee -a "$LOG/wait.log"
-until alive; do
-  echo "$(date -u +%H:%M:%S) tunnel dead, retry in 120s" >> "$LOG/wait.log"
-  sleep 120
+have_artifacts() {
+  [ -s SERVING_r03.json ] && [ -s FIDELITY_r03.json ] \
+    && [ -s THROUGHPUT_r03.json ]
+}
+
+for attempt in 1 2 3; do
+  echo "$(date -u +%H:%M:%S) attempt $attempt: waiting for tunnel..." \
+    | tee -a "$LOG/wait.log"
+  until alive; do
+    echo "$(date -u +%H:%M:%S) tunnel dead, retry in 120s" >> "$LOG/wait.log"
+    sleep 120
+  done
+  echo "$(date -u +%H:%M:%S) tunnel alive -> capture" | tee -a "$LOG/wait.log"
+  bash benchmarks/capture_r03.sh 2>&1 | tee -a "$LOG/wait.log"
+  if have_artifacts; then
+    echo "$(date -u +%H:%M:%S) all r03 artifacts present" | tee -a "$LOG/wait.log"
+    break
+  fi
+  echo "$(date -u +%H:%M:%S) artifacts incomplete after attempt $attempt" \
+    | tee -a "$LOG/wait.log"
+  sleep 300
 done
-echo "$(date -u +%H:%M:%S) tunnel alive -> capture" | tee -a "$LOG/wait.log"
-bash benchmarks/capture_r03.sh 2>&1 | tee -a "$LOG/wait.log"
