@@ -530,12 +530,19 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     (multi-voice batch): each utterance's score carries its own voice's
     formant tables, so mixed voices run in the same device program. All
     voices must share sample rate and jitter rate (per-voice jitter deltas
-    are vectorized). All utterances pad to shared (E, T); outputs are
-    sliced back to their true lengths. backend: 'fused' | 'pallas' | 'xla'
-    | 'scan' | 'fused_interpret' | 'pallas_interpret' (None = auto: the
-    fully-fused kernel on TPU, xla otherwise).
+    are vectorized). `language` likewise accepts one per utterance —
+    transcription/intonation are per-text host frontends, so mixed
+    languages batch freely. All utterances pad to shared (E, T); outputs
+    are sliced back to their true lengths. backend: 'fused' | 'pallas' |
+    'xla' | 'scan' | 'fused_interpret' | 'pallas_interpret' (None = auto:
+    the fully-fused kernel on TPU, xla otherwise).
     """
     B = len(texts)
+    if isinstance(language, (list, tuple)):
+        assert len(language) == B, "one language per text"
+        languages_ = list(language)
+    else:
+        languages_ = [language] * B
     if isinstance(voice, (list, tuple)):
         voices = [_resolve_voice(v) for v in voice]
         assert len(voices) == B, "one voice per text"
@@ -562,9 +569,9 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     if backend is None:
         backend = "scan" if use_scan else default_backend()
 
-    scores_raw = [text_to_score(t, v, language, contour=contour,
+    scores_raw = [text_to_score(t, v, lng, contour=contour,
                                 speaking_rate=speaking_rate)
-                  for t, v in zip(texts, voices)]
+                  for t, v, lng in zip(texts, voices, languages_)]
     return synthesize_scores(scores_raw, voices, seeds=seeds, backend=backend)
 
 

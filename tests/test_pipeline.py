@@ -123,3 +123,23 @@ def test_pad_score_matches_frontend_padding():
                                       np.asarray(b.length))
         np.testing.assert_array_equal(np.asarray(a.blend_length),
                                       np.asarray(b.blend_length))
+
+
+def test_batch_per_utterance_languages():
+    """synthesize_batch accepts one language per utterance (transcription
+    and intonation are per-text host frontends) and matches the same
+    utterance synthesized under a single-language batch."""
+    import numpy as np
+
+    from grail_tpu.api import synthesize_batch
+
+    from grail_tpu.utils import sample_error_db
+
+    mixed = synthesize_batch(["hello", "guten tag"], voice="plain",
+                             language=["english", "deutsch"],
+                             seeds=[0, 1])
+    solo_de = synthesize_batch(["guten tag"], voice="plain",
+                               language="deutsch", seeds=[1])[0]
+    # different batch/pad shapes change XLA's FMA contraction: ~1 ulp
+    assert sample_error_db(mixed[1], solo_de) < -100
+    assert all(np.isfinite(a).all() for a in mixed)

@@ -1072,3 +1072,48 @@ def test_serve_warm_covers_shape_changes():
         assert _stream_tick_fused._cache_size() == tc   # no RT compile
     finally:
         pool.serve_stop()
+
+
+def test_serve_mode_threaded_soak():
+    """Concurrency smoke over the real locking paths: the frontend thread
+    rebuilds on its own period while a feeder thread issues live feeds and
+    the main thread runs RT ticks. No exceptions, finite audio, and the
+    fed sessions actually produce sound."""
+    import threading
+
+    from grail_tpu.runtime.stream import StreamPool
+
+    pool = StreamPool(4, voice="plain", language="english", block=1024,
+                      backend="fused_interpret", pin_elems=64)
+    pool.feed(0, "hello")
+    pool.flush(0)
+    pool.serve_start(period=0.005)      # frontend spins for real
+    errors = []
+
+    def feeder():
+        import random
+        rng = random.Random(0)
+        try:
+            for _ in range(40):
+                i = rng.randrange(4)
+                pool.feed(i, rng.choice(["go ", "on ", "hi ", "la "]))
+                pool.flush(i)
+        except Exception as e:          # pragma: no cover - the assertion
+            errors.append(e)
+
+    th = threading.Thread(target=feeder)
+    th.start()
+    blocks = []
+    try:
+        for _ in range(60):
+            blocks.append(np.asarray(pool.serve_tick()))
+    finally:
+        th.join(timeout=30)
+        pool.serve_stop()
+    assert not errors, errors
+    audio = np.concatenate(blocks, axis=1)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() > 0.01       # someone spoke
+    # post-stop counters resynced: a normal read works and stays finite
+    tail = pool.read_block()
+    assert np.isfinite(tail).all()
