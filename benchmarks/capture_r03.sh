@@ -27,6 +27,11 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "   rc=$? -> $LOG/$name.json"
 }
 
+# headline first: early warning if the round-3 kernel changes (Q32 phase,
+# windowed lattices) moved the bench number; also pre-populates the
+# compile cache the later steps share
+step bench 1500 python bench.py
+
 step serving_pool 2400 python benchmarks/latency.py --tpu --pool 128 \
     --ticks 2000 --output ulaw --pool-blocks 1024 2048 4096
 
