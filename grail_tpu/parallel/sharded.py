@@ -150,7 +150,7 @@ def synthesize_block_sp(elems: SynthesisElem, mesh: Mesh,
     T shards over mesh axis 'seq', B over 'data'. Returns ([T, B] audio with
     the same sharding, final SynthState sharded over 'data').
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     T, B = elems.frequency.shape
     ns = mesh.shape["seq"]
@@ -168,7 +168,7 @@ def synthesize_block_sp(elems: SynthesisElem, mesh: Mesh,
         mesh=mesh,
         in_specs=(elem_spec, state_spec),
         out_specs=(P("seq", "data"), state_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(elems, state)
 
@@ -178,7 +178,7 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     """Full dp x sp pipeline: batched Score (replicated over 'seq', sharded
     over 'data') -> audio [B, T]. Expansion/jitter run shard-locally with
     sample offsets (no comm); the DSP core uses the distributed scans."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..synth.jitter import apply_jitter
     from ..synth.sequencer import expand_score
@@ -209,7 +209,7 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
                           out_specs=(SynthesisElem(P("seq", "data"),
                                                    *[P("seq", "data", None)] * 6),
                                      P("seq", "data")),
-                          check_rep=False)
+                          check_vma=False)
     elems_tm, valid = expand_fn(score_batch, lattice_batch)
     out, _ = synthesize_block_sp(elems_tm, mesh)
     return (out * valid).T                                    # [B, T]
@@ -241,7 +241,7 @@ def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False,
     truncated to the rows one block can touch (the full-window gather is
     the ~29 ms/tick regression; see build_tables).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..runtime.stream import (_pcm16_body, _stream_tick_fused_body,
                                   _ulaw_body)
@@ -268,7 +268,7 @@ def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False,
                     (P(), d, d, d), P(), d, d, specs_like(states, d))
         out_specs = (d, specs_like(states, d), d, d)
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+                       out_specs=out_specs, check_vma=False)
         return fn(scores, lattices, jparams, sample_rate, offsets,
                   joffsets, states)
 
