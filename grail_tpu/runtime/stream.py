@@ -361,15 +361,19 @@ def ulaw_decode(code: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _scatter_rows(stack: Score, offsets, joffsets, rows: Score,
-                  off_new, joff_new, idx):
-    """Scatter K changed sessions' score rows (+offset counters) into the
-    device-resident [N, E] stack: the incremental-upload path of
-    StreamPool._prepare_tick (K is bucketed so at most log2(N) shapes
-    compile). Duplicate idx entries carry identical rows (idempotent)."""
+def _scatter_rows(stack: Score, offsets, joffsets, jdeltas, rows: Score,
+                  off_new, joff_new, jd_new, idx):
+    """Scatter K changed sessions' score rows (+offset counters + per-
+    session jitter deltas) into the device-resident [N, E] stack: the
+    incremental-upload path of StreamPool._prepare_tick (K is bucketed so
+    at most log2(N) shapes compile). Duplicate idx entries carry identical
+    rows (idempotent). jdeltas ride along so a live [voice:] switch (which
+    changes one session's deltas) stays on this path instead of forcing
+    the full [N, E] stack re-upload."""
     upd = jax.tree.map(lambda o, r: o.at[idx].set(r), stack, rows)
+    jd2 = tuple(o.at[idx].set(r) for o, r in zip(jdeltas, jd_new))
     return (upd, offsets.at[idx].set(off_new),
-            joffsets.at[idx].set(joff_new))
+            joffsets.at[idx].set(joff_new), jd2)
 
 
 @jax.jit
@@ -483,6 +487,13 @@ class StreamSession:
             combined = self._pending_cmd + text
             try:
                 chunks, tail = _parse_commands(combined, partial=True)
+                # validate every command BEFORE applying anything: a value
+                # that parses but cannot apply ([rate:fast], [voice:nope])
+                # must not half-consume the input — without the pre-pass,
+                # a mid-loop failure dropped every chunk after it
+                for kind, payload in chunks:
+                    if kind != "text":
+                        self._validate_command(kind, payload)
             except ValueError:
                 # atomic: a malformed command consumes NOTHING — the whole
                 # buffer (fragment + this chunk's text) stays pending so no
@@ -506,9 +517,45 @@ class StreamSession:
         self._pending_chars = self._pending_chars[consumed:]
         self._append_phonemes(phonemes)
 
+    def _validate_command(self, kind: str, value: str) -> None:
+        """Raise ValueError if `value` cannot apply — side-effect free, so
+        feed() can validate a whole chunk list before applying any of it
+        (command atomicity), and registry KeyErrors surface as the
+        documented ValueError."""
+        if kind in ("pitch", "rate"):
+            try:
+                v = float(value)
+            except ValueError:
+                raise ValueError(
+                    f"[{kind}:{value}]: expected a number") from None
+            if not (v > 0):
+                raise ValueError(f"[{kind}:{value}]: must be positive")
+        elif kind == "voice":
+            try:
+                new = get_voice(value)
+            except KeyError as e:
+                raise ValueError(str(e)) from None
+            if float(new.sample_rate) != self.sample_rate:
+                raise ValueError("live voice switch requires equal sample rates")
+            if abs(float(new.jitter_frequency)
+                   - float(self.voice.jitter_frequency)) > 1e-12:
+                # the jitter lattice's cell schedule is position * rate; a
+                # mid-stream rate change would silently misalign every cell
+                # already drawn (and trip the pool's shared-rate assert on
+                # the serving frontend, stalling ALL sessions)
+                raise ValueError("live voice switch requires equal jitter rates")
+        elif kind == "lang":
+            try:
+                get_language(value)
+            except KeyError as e:
+                raise ValueError(str(e)) from None
+        else:
+            raise ValueError(f"unknown stream command {kind!r}")
+
     def _apply_command(self, kind: str, value: str) -> None:
         import dataclasses
 
+        self._validate_command(kind, value)
         self.flush()  # pending text keeps the pre-command settings
         if kind == "pitch":
             self.voice = dataclasses.replace(
@@ -516,16 +563,11 @@ class StreamSession:
         elif kind == "rate":
             self.speaking_rate = float(value)
         elif kind == "voice":
-            new = get_voice(value)
-            if float(new.sample_rate) != self.sample_rate:
-                raise ValueError("live voice switch requires equal sample rates")
-            self.voice = new
+            self.voice = get_voice(value)
         elif kind == "lang":
             # pending chars were flushed above under the OLD language; text
             # after the command transcribes (and intonates) with the new one
             self.language = get_language(value)
-        else:
-            raise ValueError(f"unknown stream command {kind!r}")
         # voice/prosody changes must invalidate the pool's upload cache even
         # with no pending text: the cache key's id(voice) component alone is
         # unsafe (a garbage-collected Voice's id can be reused)
@@ -535,9 +577,12 @@ class StreamSession:
         """Force-transcribe any held-back characters; a command fragment
         still unterminated at end-of-input raises (strict grammar)."""
         if self._pending_cmd:
-            # parse BEFORE clearing: on a ValueError the fragment stays
-            # buffered, so the caller can still terminate it with more text
+            # parse + validate BEFORE clearing: on a ValueError the fragment
+            # stays buffered, so the caller can still terminate/fix it
             chunks = _parse_commands(self._pending_cmd)
+            for kind, payload in chunks:
+                if kind != "text":
+                    self._validate_command(kind, payload)
             self._pending_cmd = ""
             for kind, payload in chunks:
                 if kind == "text":
@@ -775,7 +820,7 @@ class StreamSession:
                 "pool.read_block() — a solo read would advance only this "
                 "session's host state and desynchronize it from the pool's "
                 "device-resident batch state")
-        n = int(num_samples or self.block)
+        n = self.block if num_samples is None else int(num_samples)
         out = np.empty(n, np.float32)
         done = 0
         while done < n:
@@ -855,6 +900,17 @@ class StreamSession:
             pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
             pending_cmd=np.frombuffer(self._pending_cmd.encode(), np.uint8),
             residual=self._residual,
+            # live-command state: a session that executed [voice:]/[pitch:]/
+            # [rate:]/[lang:] must restore with those settings, not the
+            # restoring session's constructor defaults; _horizon_tail keeps
+            # restored idle silence trimmable (text fed right after a
+            # restore must not play seconds late)
+            voice_name=np.frombuffer(self.voice.name.encode(), np.uint8),
+            lang_name=np.frombuffer(self.language.name.encode(), np.uint8),
+            prosody=np.array([self.voice.center_frequency,
+                              self.speaking_rate, self.sample_rate,
+                              float(self.contour)], np.float64),
+            horizon=np.int64(self._horizon_tail),
         )
 
     def _apply_payload(self, z, prefix: str = "") -> None:
@@ -872,11 +928,42 @@ class StreamSession:
             except TypeError:
                 return (prefix + k) in z.files
 
+        import dataclasses
+
+        if has("voice_name"):
+            vn = bytes(np.asarray(g("voice_name"), np.uint8)).decode()
+            cf, rate, sr, contour = (float(x) for x in g("prosody"))
+            if vn and vn != self.voice.name:
+                try:
+                    v = get_voice(vn)
+                except KeyError:
+                    raise ValueError(
+                        f"checkpoint used voice {vn!r}, which is not "
+                        "registered here; register_voice() it before "
+                        "load_state()") from None
+                self.voice = v
+            if float(self.voice.sample_rate) != sr:
+                self.voice = self.voice.resampled(sr)
+            if cf != float(self.voice.center_frequency):   # live [pitch:]
+                self.voice = dataclasses.replace(
+                    self.voice, center_frequency=cf)
+            self.sample_rate = float(self.voice.sample_rate)
+            self.speaking_rate = rate
+            self.contour = bool(contour)
+            ln = bytes(np.asarray(g("lang_name"), np.uint8)).decode()
+            if ln and ln != self.language.name:
+                try:
+                    self.language = get_language(ln)
+                except KeyError:
+                    raise ValueError(
+                        f"checkpoint used language {ln!r}, which is not "
+                        "registered here; register_language() it before "
+                        "load_state()") from None
         self._elements = [
             PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
             for r in g("elems")]
         self._rev += 1   # restored score invalidates pool/end-sample caches
-        self._horizon_tail = 0       # restored elements count as real
+        self._horizon_tail = int(g("horizon")) if has("horizon") else 0
         self._drift_t0 = np.float32(g("drift_t0")) if has("drift_t0") \
             else np.float32(0.0)
         self._consumed_samples = int(g("counters")[0])
@@ -891,6 +978,10 @@ class StreamSession:
         self._lattice.pitch = g("lat_pitch")
         self._lattice.formant = g("lat_formant")
         self._lattice.amp = g("lat_amp")
+        # a restored window may exceed the constructor-sized reserve (e.g.
+        # restoring into a session built with a smaller jitter_horizon_s)
+        self._jitter_reserve = max(self._jitter_reserve,
+                                   _bucket(len(self._lattice.pitch)))
         self._lattice.version += 1   # restored content invalidates uploads
         st = g("lat_states")
         self._lattice._pitch_state.state = int(st[0])
@@ -902,9 +993,21 @@ class StreamSession:
         self._residual = np.asarray(g("residual"), np.float32) if has("residual") \
             else np.empty(0, np.float32)
 
+    def _check_not_serving(self, what: str) -> None:
+        """Pool-owned sessions share StreamPool.save/load's torn-state
+        hazard: while serve mode is live, host counters sync only at
+        frontend cycles and the RT thread replaces pool._states each tick."""
+        if self._pool_ref is not None and getattr(
+                self._pool_ref[0], "_serving", False):
+            raise RuntimeError(
+                f"{what} on a pool-owned session while serve mode is live "
+                "would snapshot/restore a torn state; call "
+                "pool.serve_stop() first")
+
     def save_state(self) -> bytes:
         import io
 
+        self._check_not_serving("save_state()")
         self._materialize_state()
         buf = io.BytesIO()
         np.savez(buf, **self._payload_dict(self._state))
@@ -913,6 +1016,7 @@ class StreamSession:
     def load_state(self, payload: bytes) -> None:
         import io
 
+        self._check_not_serving("load_state()")
         z = np.load(io.BytesIO(payload))
         self._apply_payload(z)
         if self._pool_ref is not None:
@@ -920,6 +1024,8 @@ class StreamSession:
             # pytree, so the restored slice must be scattered back (and the
             # cached device offsets rebuilt from the restored counters)
             pool, idx = self._pool_ref
+            if getattr(pool, "_inflight", None) is not None:
+                pool.drain()   # an in-flight tick was dispatched pre-restore
             pool._states = SynthState(*(
                 jnp.asarray(arr).at[idx].set(jnp.asarray(v))
                 for arr, v in zip(pool._states, self._state)))
@@ -1125,9 +1231,16 @@ class StreamPool:
             # per publish and saturates a remote device link at serving
             # feed rates (measured, docs/SERVING.md).
             prev_key = self._cache_key
+            # NOTE: the voice-id tuple (key[2]) is deliberately NOT part of
+            # same_struct: live [pitch:]/[voice:] commands replace a Voice
+            # object (new id) but bump that session's _rev, so the changed
+            # set below catches them and the scatter carries the new score
+            # rows + jitter deltas. A DIRECT session.voice assignment (no
+            # _rev bump) changes key[2] with an empty changed set and falls
+            # through to the full rebuild.
             same_struct = (
                 self._dev is not None and prev_key is not None
-                and prev_key[0] == key[0] and prev_key[2] == key[2]
+                and prev_key[0] == key[0]
                 and self._dev["backend"] == self.backend)
             changed = ([i for i in range(self.n)
                         if prev_key[1][i] != key[1][i]]
@@ -1155,12 +1268,23 @@ class StreamPool:
                     joff_new = np.asarray(
                         [self.sessions[i]._jitter_pos for i in idx],
                         np.int32)
+                    # jnp, not raw np: a host numpy arg makes jax.jit
+                    # compile a second entry for the same aval (measured),
+                    # defeating the serve_start K-bucket warm
+                    jd_new = tuple(
+                        jnp.asarray([getattr(self.sessions[i].voice, a)
+                                     for i in idx], jnp.float32)
+                        for a in ("jitter_delta_frequency",
+                                  "jitter_delta_formant_frequency",
+                                  "jitter_delta_amplitude"))
                     d = self._dev
-                    scores2, off2, joff2 = _scatter_rows(
+                    scores2, off2, joff2, jd2 = _scatter_rows(
                         d["scores"], d["offsets"], d["joffsets"],
-                        jax.device_put(rows_b), jnp.asarray(off_new),
-                        jnp.asarray(joff_new), jnp.asarray(idx))
-                    self._dev = dict(scores=scores2, jparams=d["jparams"],
+                        d["jparams"][1:], jax.device_put(rows_b),
+                        jnp.asarray(off_new), jnp.asarray(joff_new),
+                        jd_new, jnp.asarray(idx))
+                    self._dev = dict(scores=scores2,
+                                     jparams=(d["jparams"][0],) + jd2,
                                      offsets=off2, joffsets=joff2,
                                      backend=d["backend"])
                     self._cache_key = key
@@ -1468,7 +1592,10 @@ class StreamPool:
             rows = jax.tree.map(
                 lambda f: jnp.repeat(f[:1], K, axis=0), swap["scores"])
             idxK = jnp.zeros((K,), jnp.int32)
-            _scatter_rows(swap["scores"], off, off, rows, idxK, idxK, idxK)
+            jdK = tuple(jnp.repeat(x[:1], K, axis=0)
+                        for x in swap["jparams"][1:])
+            _scatter_rows(swap["scores"], off, off, swap["jparams"][1:],
+                          rows, idxK, idxK, jdK, idxK)
             lrows = jax.tree.map(
                 lambda f: jnp.repeat(f[:1], K, axis=0), swap["lattices"])
             _scatter_lat_rows(swap["lattices"], lrows, idxK)
@@ -1548,6 +1675,15 @@ class StreamPool:
             return
         self._serve_stop_flag = True
         th.join(timeout=30)
+        if th.is_alive():
+            # a frontend cycle can stall minutes inside _serve_build (a
+            # mid-serving recompile, a dead device tunnel); tearing down
+            # serve state under a live thread would let it mutate counters
+            # and _dev concurrently with non-serving APIs — and a new
+            # serve_start would spawn a second loop beside the zombie
+            raise RuntimeError(
+                "serving frontend thread did not stop within 30 s (stalled "
+                "build?); serve state left intact — retry serve_stop()")
         self._serve_thread = None
         self._serving = False
         blk = self.block

@@ -160,7 +160,9 @@ def test_stream_lang_command_switches_language():
     assert s.language is not before
     a = s.read(44100 * 2)
     assert np.isfinite(a).all() and np.max(np.abs(a)) > 0.01
-    with pytest.raises(KeyError):
+    # unknown names surface as the documented ValueError (not the
+    # registry's KeyError), and atomically: the buffer stays pending
+    with pytest.raises(ValueError):
         s.feed("[lang:klingon]", parse_commands=True)
 
 
