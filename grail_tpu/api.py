@@ -621,7 +621,8 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
         # stack_scores of all 8 fields on the hot batch path
         lengths_only = SimpleNamespace(
             length=np.stack([np.asarray(s.length) for s in scores]))
-        if not fused_supported(lengths_only, sr):
+        if not fused_supported(lengths_only, sr,
+                               jitter_inc=float(v0.jitter_frequency)):
             backend = ("pallas_interpret" if backend.endswith("interpret")
                        else "pallas")
 

@@ -1254,7 +1254,8 @@ class StreamPool:
                 rows = [self.sessions[i]._build_score(E) for i in changed]
                 rows_b = stack_scores(rows)
                 if (not self.backend.startswith("fused")
-                        or fused_supported(rows_b, self.sample_rate)):
+                        or fused_supported(rows_b, self.sample_rate,
+                                           jitter_inc=inc)):
                     K = _scatter_bucket(len(changed))   # jit-shape bucketing
                     pad = K - len(changed)
                     idx = np.asarray(changed + changed[:1] * pad, np.int32)
@@ -1315,7 +1316,8 @@ class StreamPool:
             if backend.startswith("fused"):
                 from ..synth.kernel_fused import fused_supported
 
-                if not fused_supported(scores_b, self.sample_rate):
+                if not fused_supported(scores_b, self.sample_rate,
+                                       jitter_inc=inc):
                     backend = "xla"   # pathological tick: per-chunk row
                     #                   selection precondition violated.
                     #                   NOTE: a mesh-sharded pool serves

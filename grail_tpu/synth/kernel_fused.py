@@ -48,10 +48,13 @@ truncation-biased frequency quantization drifted the carrier ~1e-5 cycles
 over an utterance and cost the fused rows 0.3-1.5 dB of fidelity margin
 vs the XLA rows — VERDICT r2 weak #4.)
 
-Preconditions (checked host-side by `fused_supported`): every nonzero score
-element spans >= CHUNK_F samples, and the jitter rate satisfies
-inc * CHUNK_F < 1 (both hold by construction for all presets: elements are
-~0.1-0.8 s vs CHUNK_F = 2.9 ms; MAX_JITTER_INC * 128 = 0.256).
+Preconditions (checked host-side by `fused_supported` — pass the jitter
+rate as `jitter_inc` to cover both): every score element spans >= CHUNK_F
+samples (zero-length elements only in the leading/trailing degenerate
+runs), and the jitter rate satisfies inc * CHUNK_F < 1 (both hold by
+construction for all presets: elements are ~0.1-0.8 s vs CHUNK_F = 2.9 ms;
+MAX_JITTER_INC * 128 = 0.256; voices/voice.py enforces the rate bound for
+every compilable voice).
 """
 
 from __future__ import annotations
@@ -125,7 +128,9 @@ class FusedTables(NamedTuple):
 
     n: jnp.ndarray        # [E, B] i32  element end-sample boundaries
     scal: jnp.ndarray     # [E, 8, B] f32 rows: freq, cum_end_time,
-                          #   blend_length, has_sound, end_sample(f32), 0...
+                          #   blend_length, has_sound, end_sample (f32 copy,
+                          #   informational only — the kernels compare the
+                          #   exact int32 `n`), 0...
     vec: jnp.ndarray      # [E, 48, B] f32: ff, bw, smooth, breath, turb, amp
     latp: jnp.ndarray     # [W, B] f32  pitch value-noise lattice (pre-shifted)
     latf: jnp.ndarray     # [W, 8, B]   formant-freq lattice (pre-shifted)
@@ -249,28 +254,24 @@ def _cumsum_i32(x):
     return x
 
 
-def _fused_kernel(n_ref, scal_ref, vec_ref,
-                  latp_ref, latf_ref, lata_ref, par_ref, aux_ref, leh_ref,
-                  inc_ref, sf_in, si_in,
-                  audio_ref, sf_out, si_out,
-                  s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22):
-    E = n_ref.shape[0]
-    W = latp_ref.shape[0]
-    chunk, lane = audio_ref.shape
-    tt = pl.program_id(1)
+def _seq_chunk_core(n_ref, scal_ref, E: int, k1, dt):
+    """The sequencer closed form for one chunk — SHARED by _fused_kernel
+    and phase_q32_pre_block's kernel. The split path's seam exactness
+    requires the pre-pass to integrate a frequency stream BIT-IDENTICAL to
+    the one the fused kernel synthesizes, so every arithmetic step of the
+    boundary count, scal-row extraction, and 4-case frequency pick exists
+    exactly once (precedent: sequencer._selection_prelude — "sharing the
+    code makes divergence impossible instead of merely discouraged").
 
-    @pl.when(tt == 0)
-    def _load_state():
-        sf_out[...] = sf_in[...]
-        si_out[...] = si_in[...]
-
-    # ---- A: element index at chunk ends (sequencer closed form) ----------
-    g0 = aux_ref[0][None, :]                                   # [1, lane] i32
-    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
-    k1 = kk + (tt * chunk + 1) + g0                            # [chunk, lane]
+    k1: [chunk, lane] int32 absolute 1-based sample index (offsets already
+    applied). Returns a dict of per-chunk intermediates.
+    """
+    chunk, lane = k1.shape
     k1_first = k1[0:1]
     k1_last = k1[chunk - 1:chunk]
 
+    # element index at chunk ends by boundary compare-count (exactly
+    # sequencer.expand_score's closed form)
     def cnt_body(e, carry):
         ja, jb = carry
         ne = n_ref[e][None, :]
@@ -286,37 +287,100 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     jan = jnp.minimum(ja_c + 1, Em1)
     jbn = jnp.minimum(jb_c + 1, Em1)
 
-    # ---- B: row extraction — packed tables, one wide FMA per (e, row) ----
-    # The 8-wide element fields need only a 3-row basis: because the chunk
-    # meets at most one element boundary, the rows at (jb, jbn) coincide
-    # with rows of the (ja, jan, jbn) basis — e0/e1/e2 below — and every
-    # per-sample cur/next value is a per-lane select within that basis.
-    z8 = jnp.zeros((NUM_FORMANTS, lane), jnp.float32)
-    zv = jnp.zeros((6 * NUM_FORMANTS, lane), jnp.float32)
-    z1 = jnp.zeros((1, lane), jnp.float32)
+    # scal-row extraction: one wide masked FMA per (element, row), plus the
+    # int32 boundary n[ja] for the exact intra-chunk compare below
+    z8 = jnp.zeros((8, lane), jnp.float32)
+    zi = jnp.zeros((1, lane), jnp.int32)
 
     def row_body(e, carry):
-        sc4, ve3 = carry
-        ma = (ja_c == e).astype(jnp.float32)
+        sc4, ni = carry
+        mae = ja_c == e
+        ma = mae.astype(jnp.float32)
         mb = (jb_c == e).astype(jnp.float32)
         mna = (jan == e).astype(jnp.float32)
         mnb = (jbn == e).astype(jnp.float32)
         sc = scal_ref[e]                                       # [8, lane]
-        vc = vec_ref[e]                                        # [48, lane]
         return ((sc4[0] + ma * sc, sc4[1] + mb * sc,
                  sc4[2] + mna * sc, sc4[3] + mnb * sc),
-                (ve3[0] + ma * vc, ve3[1] + mna * vc, ve3[2] + mnb * vc))
+                ni + jnp.where(mae, n_ref[e][None, :], zi))
 
-    sc4, ve3 = jax.lax.fori_loop(
-        0, E, row_body, ((z8,) * 4, (zv,) * 3))
+    sc4, n_ja_i = jax.lax.fori_loop(0, E, row_body, ((z8,) * 4, zi))
     sc_a, sc_b, sc_an, sc_bn = sc4
-    e0, e1, e2 = ve3           # element vec rows at ja, min(ja+1), min(jb+1)
-    # scal rows: 0 freq, 1 cum_end, 2 blend_len, 3 has_sound, 4 end_sample
-    fq4 = (sc_a[0:1], sc_b[0:1], sc_an[0:1], sc_bn[0:1])
-    cum2 = (sc_a[1:2], sc_b[1:2])
-    bl2 = (sc_a[2:3], sc_b[2:3])
-    hs4 = (sc_a[3:4], sc_b[3:4], sc_an[3:4], sc_bn[3:4])
-    n_ja = sc_a[4:5]                                           # [1, lane] f32
+    # scal rows: 0 freq, 1 cum_end, 2 blend_len, 3 has_sound
+
+    k1f = k1.astype(jnp.float32)
+    # intra-chunk boundary pick: j stays at ja while k1 <= n[ja] — the
+    # chunk meets at most one distinct boundary (fused_supported). The
+    # compare is the exact int32 count: an f32 copy of the boundary flips
+    # vs the integer past 2^24 samples (~380 s at 44.1 kHz), shifting a
+    # boundary by one sample vs the XLA path's exact searchsorted.
+    m_el = k1 <= n_ja_i                                        # [chunk, lane]
+    j2 = jnp.where(m_el, ja, jb)                               # unclipped
+    has_next = j2 < Em1
+    cur_fr = jnp.where(m_el, sc_a[0:1], sc_b[0:1])
+    nxt_fr = jnp.where(m_el, sc_an[0:1], sc_bn[0:1])
+    C_j = jnp.where(m_el, sc_a[1:2], sc_b[1:2])
+    bl_j = jnp.where(m_el, sc_a[2:3], sc_b[2:3])
+    hs_c = jnp.where(m_el, sc_a[3:4], sc_b[3:4]) > 0.5
+    hs_n = (jnp.where(m_el, sc_an[3:4], sc_bn[3:4]) > 0.5) & has_next
+
+    alf = jnp.minimum((C_j - k1f * dt) / bl_j, 1.0)            # blend alpha
+    both = hs_c & hs_n
+    fr_p = jnp.where(both, cur_fr * alf + nxt_fr * (1.0 - alf),
+                     jnp.where(hs_c, cur_fr, jnp.where(hs_n, nxt_fr, 0.25)))
+
+    # validity (expand_score's tail/pre-roll handling)
+    n_last = n_ref[E - 1][None, :]
+    valid = (k1 >= 1) & (k1 <= n_last)
+    fr_e = jnp.where(valid, fr_p, 0.25)
+    return dict(ja_c=ja_c, jb_c=jb_c, jan=jan, jbn=jbn, m_el=m_el,
+                k1f=k1f, alf=alf, hs_c=hs_c, hs_n=hs_n, both=both,
+                valid=valid, fr_e=fr_e)
+
+
+def _fused_kernel(n_ref, scal_ref, vec_ref,
+                  latp_ref, latf_ref, lata_ref, par_ref, aux_ref, leh_ref,
+                  inc_ref, sf_in, si_in,
+                  audio_ref, sf_out, si_out,
+                  s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22):
+    E = n_ref.shape[0]
+    W = latp_ref.shape[0]
+    chunk, lane = audio_ref.shape
+    tt = pl.program_id(1)
+
+    @pl.when(tt == 0)
+    def _load_state():
+        sf_out[...] = sf_in[...]
+        si_out[...] = si_in[...]
+
+    # ---- A: sequencer closed form (shared core) ---------------------------
+    g0 = aux_ref[0][None, :]                                   # [1, lane] i32
+    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
+    k1 = kk + (tt * chunk + 1) + g0                            # [chunk, lane]
+    dt = par_ref[4][None, :]
+    core = _seq_chunk_core(n_ref, scal_ref, E, k1, dt)
+    ja_c, jb_c, jan, jbn = (core["ja_c"], core["jb_c"],
+                            core["jan"], core["jbn"])
+
+    # ---- B: vec-row extraction — packed tables, one wide FMA per (e, row).
+    # The 8-wide element fields need only a 3-row basis: because the chunk
+    # meets at most one element boundary (and zero-length interior elements
+    # are rejected by fused_supported, so jb <= ja + 1), the rows at
+    # (jb, jbn) coincide with rows of the (ja, jan, jbn) basis — e0/e1/e2
+    # below — and every per-sample cur/next value is a per-lane select
+    # within that basis.
+    zv = jnp.zeros((6 * NUM_FORMANTS, lane), jnp.float32)
+    z8 = jnp.zeros((NUM_FORMANTS, lane), jnp.float32)
+    z1 = jnp.zeros((1, lane), jnp.float32)
+
+    def vec_body(e, ve3):
+        ma = (ja_c == e).astype(jnp.float32)
+        mna = (jan == e).astype(jnp.float32)
+        mnb = (jbn == e).astype(jnp.float32)
+        vc = vec_ref[e]                                        # [48, lane]
+        return (ve3[0] + ma * vc, ve3[1] + mna * vc, ve3[2] + mnb * vc)
+
+    e0, e1, e2 = jax.lax.fori_loop(0, E, vec_body, (zv,) * 3)
 
     # ---- B': lattice rows — scalar-indexed window (no loop over W).
     # The lattices are pre-shifted per lane by floor(g0*inc) (build_tables),
@@ -334,34 +398,13 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     lat_shift = aux_ref[1][None, :]                            # [1, lane]
 
     # ---- C: vectorized per-sample prep ------------------------------------
-    k1f = k1.astype(jnp.float32)
-    dt = par_ref[4][None, :]
-
-    # element blend (sequencer 4-case pick, exactly expand_score's formulas)
-    # per-sample element index: j stays at ja while k1 <= n[ja] — the chunk
-    # meets at most one distinct boundary (host-checked by fused_supported)
-    m_el = k1f <= n_ja                                         # [chunk, lane]
-    j2 = jnp.where(m_el, ja, jb)                               # unclipped
-    has_next = j2 < Em1
-
     F = NUM_FORMANTS
-    cur_fr = jnp.where(m_el, fq4[0], fq4[1])
-    nxt_fr = jnp.where(m_el, fq4[2], fq4[3])
-    C_j = jnp.where(m_el, cum2[0], cum2[1])
-    bl_j = jnp.where(m_el, bl2[0], bl2[1])
-    hs_c = jnp.where(m_el, hs4[0], hs4[1]) > 0.5
-    hs_n = (jnp.where(m_el, hs4[2], hs4[3]) > 0.5) & has_next
-
-    alf = jnp.minimum((C_j - k1f * dt) / bl_j, 1.0)            # blend alpha
-    both = hs_c & hs_n
-    fr_p = jnp.where(both, cur_fr * alf + nxt_fr * (1.0 - alf),
-                     jnp.where(hs_c, cur_fr, jnp.where(hs_n, nxt_fr, 0.25)))
-
-    # validity (expand_score's tail/pre-roll handling)
-    n_last = n_ref[E - 1][None, :]
-    valid = (k1 >= 1) & (k1 <= n_last)
+    k1f = core["k1f"]
+    m_el, alf, hs_c, hs_n, both, valid = (
+        core["m_el"], core["alf"], core["hs_c"], core["hs_n"],
+        core["both"], core["valid"])
     vm = valid.astype(jnp.float32)
-    fr_e = jnp.where(valid, fr_p, 0.25)
+    fr_e = core["fr_e"]
 
     # The 8-wide fields evaluate the same 4-case pick as scalar WEIGHT
     # streams over the 3-row basis: out = e0*w0 + e1*w1 + e2*w2 + sil*ws.
@@ -699,37 +742,13 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
         tt = pl.program_id(1)
         kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
         k1 = kk + (tt * chunk + 1)
-        k1_first = k1[0:1]
-        k1_last = k1[chunk - 1:chunk]
-
-        def cnt_body(e, carry):
-            ja, jb = carry
-            ne = n_ref[e][None, :]
-            return (ja + (ne < k1_first).astype(jnp.int32),
-                    jb + (ne < k1_last).astype(jnp.int32))
-
-        ja, jb = jax.lax.fori_loop(
-            0, E, cnt_body,
-            (jnp.zeros((1, lane), jnp.int32), jnp.zeros((1, lane), jnp.int32)))
-        Em1 = E - 1
-        ja_c = jnp.minimum(ja, Em1)
-        jb_c = jnp.minimum(jb, Em1)
-        jan = jnp.minimum(ja_c + 1, Em1)
-        jbn = jnp.minimum(jb_c + 1, Em1)
-
-        z8 = jnp.zeros((8, lane), jnp.float32)
-
-        def row_body(e, carry):
-            ma = (ja_c == e).astype(jnp.float32)
-            mb = (jb_c == e).astype(jnp.float32)
-            mna = (jan == e).astype(jnp.float32)
-            mnb = (jbn == e).astype(jnp.float32)
-            sc = scal_ref[e]                                   # [8, lane]
-            return (carry[0] + ma * sc, carry[1] + mb * sc,
-                    carry[2] + mna * sc, carry[3] + mnb * sc)
-
-        sc_a, sc_b, sc_an, sc_bn = jax.lax.fori_loop(
-            0, E, row_body, (z8,) * 4)
+        # the SAME sequencer chunk core the fused kernel runs — the seam
+        # exactness of the split path depends on this pre-pass integrating
+        # a bit-identical frequency stream
+        core = _seq_chunk_core(n_ref, scal_ref, E, k1, par_ref[2][None, :])
+        f = core["fr_e"]
+        valid = core["valid"]
+        k1f = core["k1f"]
 
         # lattice rows: scalar-indexed window from the grid position (the
         # pre-pass always runs from sample 1, so no per-lane shift)
@@ -738,26 +757,6 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
         base = jnp.clip(jnp.floor(t01f * inc_s).astype(jnp.int32) - 2,
                         0, W - nlat)
         prow = [latp_ref[base + r][None, :] for r in range(nlat)]
-
-        k1f = k1.astype(jnp.float32)
-        dt_ = par_ref[2][None, :]
-        m_el = k1f <= sc_a[4:5]                   # j stays at ja while
-        j2 = jnp.where(m_el, ja, jb)              # k1 <= end_sample[ja]
-        has_next = j2 < Em1
-        cur_fr = jnp.where(m_el, sc_a[0:1], sc_b[0:1])
-        nxt_fr = jnp.where(m_el, sc_an[0:1], sc_bn[0:1])
-        C_j = jnp.where(m_el, sc_a[1:2], sc_b[1:2])
-        bl_j = jnp.where(m_el, sc_a[2:3], sc_b[2:3])
-        hs_c = jnp.where(m_el, sc_a[3:4], sc_b[3:4]) > 0.5
-        hs_n = (jnp.where(m_el, sc_an[3:4], sc_bn[3:4]) > 0.5) & has_next
-
-        alf = jnp.minimum((C_j - k1f * dt_) / bl_j, 1.0)
-        f = jnp.where(hs_c & hs_n, cur_fr * alf + nxt_fr * (1.0 - alf),
-                      jnp.where(hs_c, cur_fr,
-                                jnp.where(hs_n, nxt_fr, 0.25)))
-        n_last = n_ref[E - 1][None, :]
-        valid = (k1 >= 1) & (k1 <= n_last)
-        f = jnp.where(valid, f, 0.25)
 
         ph = k1f * inc_s
         phi = ph - jnp.floor(ph)
@@ -810,18 +809,36 @@ def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def fused_supported(score_np, sample_rate: float, chunk: int = CHUNK_F) -> bool:
-    """Host-side precondition check: every nonzero element spans >= chunk
-    samples (so the per-chunk two-row selection is exact). Call with concrete
-    (numpy) scores outside jit."""
+def fused_supported(score_np, sample_rate: float, chunk: int = CHUNK_F,
+                    jitter_inc=None) -> bool:
+    """Host-side precondition check. Call with concrete (numpy) scores
+    outside jit. Two conditions:
+
+    1. Every element spans >= chunk samples (the per-chunk two-row
+       selection is exact), OR is degenerate in a SAFE position: a
+       leading zero-span run (boundary still 0 — never selected, never in
+       the kernel's row basis) or the trailing zero-length padding run.
+       An INTERIOR zero-span element (duplicate boundary between two real
+       elements) is rejected: the compare-count index skips it (jb =
+       ja + 2 across the boundary), but the kernel's 3-row vec basis
+       assumes jb == ja + 1, so post-boundary samples would read the
+       zero-length element's formant rows.
+    2. `jitter_inc` (the jitter rate, pass when available): a chunk must
+       span < 1 lattice cell (inc * chunk < 1) for the kernel's 3-row /
+       2-way lattice select. Holds for every compilable voice
+       (voices/voice.py enforces MAX_JITTER_INC), so this guards only
+       hand-built jparams.
+    """
+    if jitter_inc is not None and not float(jitter_inc) * chunk < 1.0:
+        return False
     lengths = np.asarray(score_np.length, np.float32)
     C = np.cumsum(lengths, axis=-1)
     n = np.floor(C * np.float32(sample_rate)).astype(np.int64)
-    gaps = np.diff(n, axis=-1)
-    first = n[..., 0]
-    ok = np.all((gaps == 0) | (gaps >= chunk))
-    ok = ok and np.all((first == 0) | (first >= chunk))
-    return bool(ok)
+    spans = np.diff(n, axis=-1, prepend=0)            # per-element samples
+    nz = spans != 0
+    later_nz = (np.cumsum(nz[..., ::-1], axis=-1)[..., ::-1] - nz) > 0
+    return bool(np.all((spans >= chunk)
+                       | ((spans == 0) & ((n == 0) | ~later_nz))))
 
 
 __all__ = ["FusedTables", "build_tables", "synth_fused_pallas",

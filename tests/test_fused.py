@@ -132,3 +132,104 @@ def test_stream_pool_fused_matches_solo():
         s.flush()
         solo = np.concatenate([s.read() for _ in range(ticks)])
         assert sample_error_db(pooled[i], solo) < -60
+
+
+def test_fused_supported_zero_span_positions():
+    # interior zero-length elements (duplicate boundary between two real
+    # elements) break the kernel's 3-row vec basis (jb == ja + 2 across the
+    # boundary) and must be rejected; leading (boundary still 0) and
+    # trailing (padding) zero runs are safe and must stay accepted
+    from types import SimpleNamespace
+
+    def ln(*ls):
+        return SimpleNamespace(length=np.asarray(ls, np.float32))
+
+    assert not fused_supported(ln(0.5, 0.0, 0.5), 44100.0)     # interior
+    assert fused_supported(ln(0.5, 0.5, 0.0, 0.0), 44100.0)    # trailing pad
+    assert fused_supported(ln(0.0, 0.5, 0.5), 44100.0)         # leading
+    assert fused_supported(ln(0.0, 0.0), 44100.0)              # all-degenerate
+    # the jitter-rate precondition (inc * chunk < 1) is checked when given
+    assert fused_supported(ln(0.5, 0.5), 44100.0, jitter_inc=0.001)
+    assert not fused_supported(ln(0.5, 0.5), 44100.0, jitter_inc=0.01)
+
+
+def test_api_falls_back_on_interior_zero_span():
+    # a hand-built score with an interior zero-length element must route off
+    # the fused kernel and still match the XLA backend
+    from grail_tpu.api import synthesize_scores
+
+    s = text_to_score("aea")
+    lengths = np.asarray(s.length).copy()
+    lengths[1] = 0.0
+    z = Score(elem=s.elem, has_sound=s.has_sound,
+              length=jnp.asarray(lengths), blend_length=s.blend_length)
+    out = synthesize_scores([z], backend="fused_interpret")[0]
+    ref = synthesize_scores([z], backend="xla")[0]
+    assert sample_error_db(out, ref) < -60
+    assert np.abs(out - ref).max() < 5e-4
+
+
+def test_fused_boundary_selection_past_2p24_samples():
+    # the intra-chunk boundary pick must use the exact int32 boundary: an
+    # f32 copy flips vs the integer count past 2^24 samples (~380 s),
+    # shifting an element boundary by one sample vs the XLA path
+    from grail_tpu.synth.sequencer import expand_score
+    from grail_tpu.synth.synthesize import synthesize_block
+
+    sr = 44100.0
+    voice = get_voice("generic")
+    score = text_to_score("appa")      # [sil, a, sil, sil, a]
+    lengths = np.asarray(score.length).copy()
+
+    # Past 2^24 every f32 IS an integer, so the boundary value stays exact
+    # — the flip comes from k1.astype(f32): the sample index n1 + 1 (odd,
+    # a round-to-nearest-even tie in the spacing-2 region) rounds DOWN to
+    # n1 whenever n1 % 4 == 0, so the f32 compare keeps the old element
+    # for one extra sample. At this score's sound -> silence+silence
+    # boundary that one sample applies the 0.25 silent-default carrier
+    # frequency vs the voice's ~0.003 — a permanent ~quarter-cycle phase
+    # displacement that turns audible when the final 'a' plays (the
+    # documented -14 dB boundary-misalignment class). Craft the boundary
+    # by stretching the first 'a' (element 1).
+    l0 = np.float32(lengths[0])
+    n1 = None
+    c = np.float32(380.5)
+    for _ in range(20000):
+        C1 = np.float32(l0 + c)        # build_tables' f32 cumsum at elem 1
+        cand = int(np.floor(C1 * np.float32(sr)))
+        if cand > 2 ** 24 and cand % 4 == 0:
+            n1 = cand
+            break
+        c = np.nextafter(c, np.float32(np.inf), dtype=np.float32)
+    assert n1 is not None, "no mod-4 boundary found in scan range"
+    assert int(np.float32(n1 + 1)) == n1     # the tie rounds down: k1f flips
+
+    lengths[1] = float(c)
+    long_score = Score(elem=score.elem, has_sound=score.has_sound,
+                       length=jnp.asarray(lengths),
+                       blend_length=score.blend_length)
+
+    # window: straddle the boundary and run through the final 'a' where a
+    # carrier phase displacement becomes full-scale audio error
+    g0 = n1 - 128
+    T = 55424                          # ~1.26 s, multiple of CHUNK_F
+    # zero jitter deltas isolate the element-selection compare; the fused
+    # kernel still runs its full jitter math (zero contribution)
+    jp = tuple(jnp.float32(x) for x in (voice.jitter_frequency, 0.0, 0.0, 0.0))
+    lat = JitterLattice(np.zeros(16, np.float32),
+                        np.zeros((16, 8), np.float32),
+                        np.zeros((16, 8), np.float32))
+
+    elems, valid = expand_score(long_score, sr, T, offset=g0)
+    ref, _ = synthesize_block(elems, SynthState.init(()), block_size=T)
+    ref = np.asarray(ref) * np.asarray(valid)
+
+    batched = stack_scores([long_score])
+    lat_b = JitterLattice(*(f[None] for f in lat))
+    tables = build_tables(batched, lat_b, jp, jnp.float32(sr),
+                          g0=jnp.asarray([g0], jnp.int32))
+    out, _ = synth_fused_pallas(tables, T, interpret=True)
+    out = np.asarray(out)[:, 0]
+    # the correct (int32) compare leaves only the documented few-ulp SVF
+    # re-association; the f32 compare fails this by ~full scale
+    assert np.abs(out - ref).max() < 1e-4
