@@ -113,6 +113,19 @@ def _round_up(x: int, m: int) -> int:
 
 BLOCK_SIZE = 4096
 
+# every backend string a caller may pass; an unknown string must be a loud
+# error, not a silent fall-through to the XLA path (a caller benchmarking
+# "the fused kernel" would measure the ~100x-slower scan core)
+_BACKENDS = ("fused", "fused_interpret", "pallas", "pallas_interpret",
+             "xla", "scan")
+
+
+def _check_backend(backend: str) -> str:
+    if backend not in _BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; "
+                         f"known: {', '.join(_BACKENDS)}")
+    return backend
+
 
 @functools.partial(jax.jit, static_argnames=("T", "use_scan"))
 def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
@@ -454,8 +467,8 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     v = _resolve_voice(voice)
     sr = float(sample_rate or v.sample_rate)
     explicit = backend is not None
-    if backend is None:
-        backend = "scan" if use_scan else default_backend()
+    backend = _check_backend(backend if backend is not None
+                             else ("scan" if use_scan else default_backend()))
     if backend not in ("xla", "scan"):
         if pad_samples_to is None and sr == float(v.sample_rate):
             return synthesize_scores([score], v, seeds=[seed],
@@ -474,7 +487,7 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     if pad_samples_to is not None and pad_samples_to < N:
         raise ValueError(
             f"pad_samples_to={pad_samples_to} < utterance length {N}")
-    T = _round_up(max(pad_samples_to or N, 1), 4096)
+    T = _round_up(max(pad_samples_to or N, 1), BLOCK_SIZE)
     lattice = build_lattice(seed, T, v.jitter_frequency)
     jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
                jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
@@ -537,7 +550,14 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     'xla' | 'scan' | 'fused_interpret' | 'pallas_interpret' (None = auto:
     the fully-fused kernel on TPU, xla otherwise).
     """
+    if isinstance(texts, str):
+        raise TypeError(
+            "texts must be a sequence of strings, not a single string — "
+            "synthesize_batch('hello') would synthesize one utterance per "
+            "CHARACTER; use synthesize(text) or pass [text]")
     B = len(texts)
+    if B == 0:
+        return []
     if isinstance(language, (list, tuple)):
         assert len(language) == B, "one language per text"
         languages_ = list(language)
@@ -564,8 +584,8 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                 resampled[id(v)] = v.resampled(float(sample_rate))
         voices = [resampled[id(v)] for v in voices]
         v0 = voices[0]
-    sr = float(v0.sample_rate)
     seeds = list(seeds) if seeds is not None else [0] * B
+    assert len(seeds) == B, "one seed per text"
     if backend is None:
         backend = "scan" if use_scan else default_backend()
 
@@ -587,6 +607,8 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     lengths."""
     scores_raw = list(scores)
     B = len(scores_raw)
+    if B == 0:
+        return []
     if isinstance(voice, (list, tuple)):
         voices = [_resolve_voice(v) for v in voice]
         assert len(voices) == B, "one voice per score"
@@ -599,15 +621,15 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     assert all(abs(v.jitter_frequency - v0.jitter_frequency) < 1e-9
                for v in voices), "batched voices must share a jitter rate"
     seeds = list(seeds) if seeds is not None else [0] * B
-    if backend is None:
-        backend = default_backend()
+    assert len(seeds) == B, "one seed per score"
+    backend = _check_backend(backend if backend is not None
+                             else default_backend())
 
     from .synth.score import pad_score
 
     E = max(s.num_elems for s in scores_raw)
     scores = [pad_score(s, E) for s in scores_raw]
     Ns = [_score_num_samples(s, sr) for s in scores]
-    T = _round_up(max(max(Ns), 1), 4096)
 
     # the fused kernel's two-row-per-chunk selection needs every element to
     # span >= CHUNK_F samples; pathological scores fall back to the
@@ -637,7 +659,17 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
         seeds = seeds + [0] * (Bp - B)
         voices = voices + [voices[0]] * (Bp - B)
 
-    lattices = [build_lattice(sd, T, v0.jitter_frequency) for sd in seeds]
+    # memoize per seed: lane padding appends up to 127 duplicate seed-0
+    # rows, and build_lattice's per-row host loop would otherwise re-run
+    # for every one of them on each new shape bucket
+    lat_cache = {}
+
+    def _lat(sd):
+        if sd not in lat_cache:
+            lat_cache[sd] = build_lattice(sd, T, v0.jitter_frequency)
+        return lat_cache[sd]
+
+    lattices = [_lat(sd) for sd in seeds]
     lattices = JitterLattice(*(np.stack(f) for f in zip(*lattices)))
     batched = stack_scores(scores)
     multi = any(v is not voices[0] for v in voices)

@@ -1090,6 +1090,11 @@ class StreamPool:
             from ..api import default_backend
 
             backend = default_backend()
+        if backend not in ("fused", "fused_interpret", "xla"):
+            # unknown strings must not silently run the xla tick — a pool
+            # deployed as "the fused kernel" would serve ~100x slower
+            raise ValueError(f"StreamPool backend must be 'fused', "
+                             f"'fused_interpret' or 'xla', got {backend!r}")
         # the fused kernel needs whole chunks per tick
         from ..synth.kernel_fused import CHUNK_F
 
