@@ -34,6 +34,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -72,7 +73,6 @@ def _sp_core(elems: SynthesisElem, state: SynthState, T_total: int, ns: int):
     excl = jnp.concatenate([jnp.zeros_like(csum[:1]), csum[:-1]], axis=0)
     inv = jnp.float32(1.0 / 4294967296.0)
     phase = (p0q + prefix + excl).astype(jnp.float32) * inv
-    phase_out = (p0q + prefix + csum[-1]).astype(jnp.float32) * inv
 
     f = elems.frequency
     pb = _polyblep(phase, f)
@@ -150,8 +150,6 @@ def synthesize_block_sp(elems: SynthesisElem, mesh: Mesh,
     T shards over mesh axis 'seq', B over 'data'. Returns ([T, B] audio with
     the same sharding, final SynthState sharded over 'data').
     """
-    from jax import shard_map
-
     T, B = elems.frequency.shape
     ns = mesh.shape["seq"]
     assert T % ns == 0
@@ -178,13 +176,10 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     """Full dp x sp pipeline: batched Score (replicated over 'seq', sharded
     over 'data') -> audio [B, T]. Expansion/jitter run shard-locally with
     sample offsets (no comm); the DSP core uses the distributed scans."""
-    from jax import shard_map
-
     from ..synth.jitter import apply_jitter
     from ..synth.sequencer import expand_score
 
     ns = mesh.shape["seq"]
-    B = score_batch.length.shape[0]
     assert T % ns == 0
     T_local = T // ns
     jf, jdf, jdff, jda = jparams
@@ -241,8 +236,6 @@ def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False,
     truncated to the rows one block can touch (the full-window gather is
     the ~29 ms/tick regression; see build_tables).
     """
-    from jax import shard_map
-
     from ..runtime.stream import (_pcm16_body, _stream_tick_fused_body,
                                   _ulaw_body)
 
