@@ -49,8 +49,8 @@ def _load():
                 lib.gn_encode_wav.argtypes = [
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                     ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
-                lib.gn_drift_boundaries.restype = None
-                lib.gn_drift_boundaries.argtypes = [
+                lib.gn_drift_boundaries2.restype = ctypes.c_int64
+                lib.gn_drift_boundaries2.argtypes = [
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                     ctypes.c_float, ctypes.c_float,
                     ctypes.POINTER(ctypes.c_int64),
@@ -153,18 +153,25 @@ def native_drift_boundaries(lengths: np.ndarray, sample_rate: float,
     this is the serving frontend's per-feed host cost. Returns
     (counts_cum int64 [E], residuals f32 [E]), or None without the lib."""
     lib = _load()
-    if lib is None or getattr(lib, "gn_drift_boundaries", None) is None:
+    if lib is None or getattr(lib, "gn_drift_boundaries2", None) is None:
         return None
     lengths = np.ascontiguousarray(lengths, np.float32)
     e = len(lengths)
     counts = np.empty(e, np.int64)
     residuals = np.empty(e, np.float32)
     if e:
-        lib.gn_drift_boundaries(
+        stall = lib.gn_drift_boundaries2(
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), e,
             ctypes.c_float(float(sample_rate)), ctypes.c_float(float(t0)),
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             residuals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if stall >= 0:
+            # same condition the NumPy twin raises on (score.py)
+            raise ValueError(
+                f"element length {float(lengths[stall]):.1f}s stalls the "
+                "reference's f32 countdown (dt is below half an ulp); the "
+                "reference sequencer would never advance past it — split "
+                "the element")
     return counts, residuals
 
 

@@ -324,7 +324,9 @@ def _seq_chunk_core(n_ref, scal_ref, E: int, k1, dt):
     hs_c = jnp.where(m_el, sc_a[3:4], sc_b[3:4]) > 0.5
     hs_n = (jnp.where(m_el, sc_an[3:4], sc_bn[3:4]) > 0.5) & has_next
 
-    alf = jnp.minimum((C_j - k1f * dt) / bl_j, 1.0)            # blend alpha
+    # blend alpha, clamped on BOTH sides like sequencer._selection_prelude
+    # (the lower clamp guards the spurious-negative-t corner — see there)
+    alf = jnp.clip((C_j - k1f * dt) / bl_j, 0.0, 1.0)
     both = hs_c & hs_n
     fr_p = jnp.where(both, cur_fr * alf + nxt_fr * (1.0 - alf),
                      jnp.where(hs_c, cur_fr, jnp.where(hs_n, nxt_fr, 0.25)))

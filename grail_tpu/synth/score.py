@@ -112,6 +112,16 @@ def _reference_boundary_samples_np(lengths, sample_rate: float,
                 t = seq[stop - 1]     # last value still >= 0
                 break
             count += cap
+            if seq[-1] == t:
+                # no progress: past ~256 s of remaining time (44.1 kHz) the
+                # f32 subtraction t - dt is a no-op, so the crossing is
+                # unreachable — the reference iterator itself would spin on
+                # this element forever. Raise instead of hanging the host.
+                raise ValueError(
+                    f"element length {float(L):.1f}s stalls the reference's "
+                    f"f32 countdown at t={float(t):.1f}s (dt is below half "
+                    "an ulp); the reference sequencer would never advance "
+                    "past it — split the element")
             t = seq[-1]
             cap = 1 << 14
         counts.append(count)
@@ -168,25 +178,24 @@ def _lengths_hitting_boundaries(n_ref: np.ndarray,
             nc = np.nextafter(nc, np.float32(np.inf if b < n else -np.inf),
                               dtype=np.float32)
         if zero_blend is not None and zero_blend[i]:
-            # avoid the exact device grid: prefer nudging up (keeps t > 0
-            # at sample n); fall back to down if up would slip the bin. If
-            # the bin holds ONLY the grid value (f32 ulp ~ bin width,
-            # cumulative time ~95-190 s), keep it: boundary exactness
-            # outranks the sub-sample alpha corner, which is then genuinely
-            # unrepresentable (the reference itself sits on that grid).
+            # avoid the exact device grid by nudging UP only (keeps t > 0
+            # at the hit sample, so the epsilon blend holds the element —
+            # the reference's NaN->hold). Nudging DOWN can never help: it
+            # makes t negative at the hit sample, which the sequencer's
+            # alpha clamp maps to the same alpha = 0 corner as the grid
+            # value itself (and before that clamp existed it EXPLODED:
+            # t = -1 ulp over the 1e-12 epsilon gave alpha ~ -1.5e7, a
+            # full-scale one-sample click). If up would slip the bin, keep
+            # the grid value: boundary exactness outranks the sub-sample
+            # alpha corner, which is then genuinely unrepresentable (the
+            # reference itself sits on that grid).
             for _ in range(8):
                 if not grid_hit(nc, n):
                     break
                 up = np.nextafter(nc, np.float32(np.inf), dtype=np.float32)
-                if int(np.floor(up * sr)) == n:
-                    nc = up
-                    continue
-                down = np.nextafter(nc, np.float32(-np.inf),
-                                    dtype=np.float32)
-                if int(np.floor(down * sr)) == n:
-                    nc = down
-                    continue
-                break
+                if int(np.floor(up * sr)) != n:
+                    break
+                nc = up
         # then the length that lands the f32 cumsum exactly on nc
         l = np.float32(np.float64(nc) - np.float64(c))
         for _ in range(8):
@@ -276,10 +285,10 @@ def score_from_phoneme_elems(
     defined = np.asarray(voice.defined)
 
     idx = np.zeros(E, np.int32)
-    has_sound = np.zeros(Epad, bool)
-    freq = np.zeros(Epad, np.float32)
-    length = np.zeros(Epad, np.float32)
-    blend = np.full(Epad, 1.0, np.float32)  # padding rows: any finite value
+    has_sound = np.zeros(E, bool)
+    freq = np.zeros(E, np.float32)
+    length = np.zeros(E, np.float32)
+    blend = np.full(E, 1.0, np.float32)
 
     # boundary alignment: author lengths are re-targeted (sub-sample
     # nudges) so the closed-form integer boundaries land exactly where the
@@ -315,21 +324,16 @@ def score_from_phoneme_elems(
 
     # pure numpy on the host path: no eager device ops, no per-call compiles
     gathered = SynthesisElem(*(np.asarray(f)[idx] for f in table))
-    if Epad > E:
-        padq = np.full((Epad - E, NUM_FORMANTS), 0.25, np.float32)
-        padz = np.zeros((Epad - E, NUM_FORMANTS), np.float32)
-        pad = SynthesisElem(np.full(Epad - E, 0.25, np.float32),
-                            padq, padq, padq, padz, padz, padz)
-        gathered = SynthesisElem(*(np.concatenate([g, p], axis=0)
-                                   for g, p in zip(gathered, pad)))
     gathered = gathered._replace(frequency=freq)
 
-    return Score(
+    # padding rows come from pad_score — ONE implementation of the padding
+    # convention (its docstring promises bit-identity with this builder)
+    return pad_score(Score(
         elem=gathered,
         has_sound=has_sound,
         length=length,
         blend_length=blend,
-    )
+    ), Epad)
 
 
 def pad_score(score: Score, pad_to: int) -> Score:

@@ -86,7 +86,14 @@ def _selection_prelude(score: Score, sample_rate, num_samples: int, offset):
 
     s = k1.astype(jnp.float32) * dt
     t = sel(C) - s                                             # reference `time`
-    a = jnp.minimum(t / sel(score.blend_length), 1.0)
+    # lower clamp: s_k = f32(k1)*dt can round ABOVE the element's f32
+    # cumulative end time while the integer boundary test still selects the
+    # element (n_j >= k1), making t spuriously negative — a sign the
+    # reference's countdown never produces in-element. Sub-audible for
+    # normal blend lengths, but a zero-blend element's 1e-12 epsilon would
+    # amplify t = -1 ulp into alpha ~ -1.5e7 (a full-scale one-sample
+    # click). alpha = 0 is the benign corner (emit the next element).
+    a = jnp.clip(t / sel(score.blend_length), 0.0, 1.0)
 
     hs_f = score.has_sound.astype(jnp.float32)
     hs_cur = sel(hs_f) > 0.5

@@ -150,8 +150,15 @@ int32_t gn_transcribe(void* handle, const char* text, int32_t text_len,
 // residuals[i] = countdown residual after element i (the t0 of a stream
 // continuing there).
 
-void gn_drift_boundaries(const float* lengths, int64_t e, float sr, float t0,
-                         int64_t* counts_cum, float* residuals) {
+// Returns -1 on success, or the index of an element whose countdown
+// STALLS: once t exceeds ~256 s (44.1 kHz), f32 t - dt == t, so the
+// crossing is unreachable — the reference iterator itself would spin on
+// that element forever. Callers raise instead of hanging the host.
+// (Renamed from gn_drift_boundaries when the stall guard + return code
+// were added; the loader degrades to the NumPy twin on a stale .so.)
+int64_t gn_drift_boundaries2(const float* lengths, int64_t e, float sr,
+                             float t0, int64_t* counts_cum,
+                             float* residuals) {
     const float dt = 1.0f / sr;
     float t = t0;
     int64_t cum = 0;
@@ -160,13 +167,16 @@ void gn_drift_boundaries(const float* lengths, int64_t e, float sr, float t0,
         int64_t count = 1;                   // the entry sample
         // negated comparison so a NaN length terminates instead of spinning
         while (!(t - dt < 0.0f) && t == t) {
-            t = t - dt;
+            const float t2 = t - dt;
+            if (t2 == t) return i;           // no progress: stalled element
+            t = t2;
             ++count;
         }
         cum += count;
         counts_cum[i] = cum;
         residuals[i] = t;
     }
+    return -1;
 }
 
 // WAV encoding ---------------------------------------------------------------

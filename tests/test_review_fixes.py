@@ -216,3 +216,59 @@ def test_zero_blend_boundary_avoids_device_grid():
     assert found, "no colliding boundary found in the scanned range"
     del resolved  # collisions in >=2-value bins can't arise from mid-bin
     #              targeting; the nudge branch is defense-in-depth
+
+
+def test_drift_sim_stall_raises_both_impls():
+    # a single >256s element makes the reference's f32 countdown t -= dt a
+    # no-op (dt below half an ulp of t): the crossing is unreachable and
+    # both drift-sim twins must raise instead of hanging the host
+    from grail_tpu.synth.score import (_reference_boundary_samples,
+                                       _reference_boundary_samples_np)
+
+    for fn in (_reference_boundary_samples, _reference_boundary_samples_np):
+        with pytest.raises(ValueError, match="stalls"):
+            fn(np.asarray([600.0], np.float32), 44100.0)
+    # long-but-fine elements still work and the twins stay bit-identical
+    a = _reference_boundary_samples(np.asarray([100.0, 0.5], np.float32), 44100.0)
+    b = _reference_boundary_samples_np(np.asarray([100.0, 0.5], np.float32), 44100.0)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_negative_time_alpha_clamped():
+    # s_k = f32(k1)*dt can round ABOVE an element's f32 cumulative end time
+    # while the integer boundary still selects the element -> t < 0. With a
+    # zero-blend element's 1e-12 epsilon, the unclamped alpha was ~ -1e7 (a
+    # full-scale one-sample parameter explosion); alpha must clamp to 0.
+    import jax.numpy as jnp
+
+    from grail_tpu.synth.score import Score
+    from grail_tpu.synth.sequencer import expand_score
+    from grail_tpu.voices import get_voice
+
+    sr = np.float32(44100.0)
+    dt = np.float32(np.float32(1.0) / sr)
+    found = None
+    for n in range(1000, 2_000_000, 7):
+        s_n = np.float32(np.float32(n) * dt)
+        L = np.nextafter(s_n, np.float32(0), dtype=np.float32)
+        if int(np.floor(L * sr)) >= n:      # element still selected at n
+            found = (n, L)
+            break
+    assert found, "no negative-t sample found in scan range"
+    n, L = found
+
+    voice = get_voice("generic")
+    rows = [voice.table[0], voice.table[1]]   # DISTINCT rows ('A' then 'E'):
+    # identical rows would cancel the alpha term (cur*a + nxt*(1-a) == cur)
+    elem2 = type(rows[0])(*(np.stack([np.asarray(f) for f in fs])
+                            for fs in zip(*rows)))
+    score = Score(elem=elem2._replace(
+                      frequency=np.asarray([0.003, 0.006], np.float32)),
+                  has_sound=np.asarray([True, True]),
+                  length=jnp.asarray([float(L), 0.5], jnp.float32),
+                  blend_length=jnp.asarray([1e-12, 0.5], jnp.float32))
+    elems, valid = expand_score(score, float(sr), 8, offset=n - 4)
+    amp = np.asarray(elems.formant_amp)
+    assert np.isfinite(amp).all()
+    assert np.abs(amp).max() <= 1.5, np.abs(amp).max()
