@@ -60,19 +60,16 @@ def build_lattice(seed: int, num_samples: int, jitter_frequency: float) -> Jitte
 
     pitch = np.empty(W + 2, np.float32)
     pitch[0], pitch[1] = dr(1), dr(2)
-    for i in range(2, W + 2):
-        pitch[i] = dr(i + 1)
+    pitch[2:] = d[2:W + 2]                     # rows m>=2: d_{m+1}
 
     formant = np.empty((W + 2, NUM_FORMANTS), np.float32)
     amp = np.empty((W + 2, NUM_FORMANTS), np.float32)
-    for jf in range(NUM_FORMANTS):
-        formant[0, jf], formant[1, jf] = dr(3 + 2 * jf), dr(4 + 2 * jf)
-        amp[0, jf], amp[1, jf] = dr(19 + 2 * jf), dr(20 + 2 * jf)
-    for m in range(2, W + 2):
-        base_f = 19 + 8 * (m - 2)
-        base_a = 35 + 8 * (m - 2)
-        formant[m] = d[base_f - 1: base_f - 1 + NUM_FORMANTS]
-        amp[m] = d[base_a - 1: base_a - 1 + NUM_FORMANTS]
+    formant[0] = d[2:18:2]                     # d_{3+2j}
+    formant[1] = d[3:19:2]                     # d_{4+2j}
+    amp[0] = d[18:34:2]                        # d_{19+2j}
+    amp[1] = d[19:35:2]                        # d_{20+2j}
+    formant[2:] = d[18:18 + 8 * W].reshape(W, NUM_FORMANTS)   # d_{19+8(m-2)+j}
+    amp[2:] = d[34:34 + 8 * W].reshape(W, NUM_FORMANTS)       # d_{35+8(m-2)+j}
 
     return JitterLattice(pitch, formant, amp)  # numpy leaves; jit ingests them
 
@@ -81,9 +78,16 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
                   offset=0):
     """Per-sample noise values: (pitch [T], formant [T,8], amp [T,8]).
 
-    `offset` shifts the sample window for blockwise evaluation."""
-    import numpy as _np
+    `offset` shifts the sample window for blockwise evaluation.
 
+    Envelope note: the cell schedule computes ph = f32(k) * inc with k the
+    ABSOLUTE 1-based sample index, so past 2^24 samples (~6.3 min at
+    44.1 kHz) f32(k) rounds to even and cell boundaries/fractions quantize
+    (±4-sample staircase at 2^25 — sub-gate noise-texture error, never a
+    discontinuity, and bit-consistent across the xla/fused/split paths,
+    which all use this same formula). Unbounded sessions avoid it
+    entirely: StreamSession rebases the jitter origin before positions
+    grow that large (stream.py:_maybe_rebase_jitter)."""
     T = int(num_samples)
     inc = jnp.float32(jitter_frequency)
     offset = jnp.asarray(offset, jnp.int32)
@@ -98,7 +102,7 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
     # window and select with an exact one-hot matmul (TPU gathers are slow).
     # inc is traced, so the window size uses the static bound MAX_JITTER_INC
     # (validated at voice-compile time).
-    K = int(_np.ceil(T * MAX_JITTER_INC)) + 2  # cells in window (+next)
+    K = int(np.ceil(T * MAX_JITTER_INC)) + 2   # cells in window (+next)
     Kw = min(K + 1, nlat)
     # lower clamp: for negative offsets (overlap-save pre-roll) the raw
     # floor goes negative; dynamic_slice would clamp the slice start to 0

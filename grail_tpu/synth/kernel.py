@@ -75,7 +75,7 @@ def precompute_streams(elems: SynthesisElem, state: SynthState):
     q1 = m21 * tamp
     q2 = (2.0 * a3) * tamp
 
-    rows = [alpha, d, q1, q2, m11, jnp.broadcast_to(m21, alpha.shape), m22]
+    rows = [alpha, d, q1, q2, m11, m21, m22]
     # seven separate [T, 8, B] streams (NOT concatenated: a packed array
     # would cost one full extra HBM pass; the kernel takes seven inputs)
     streams = tuple(jnp.moveaxis(r, -1, 1).astype(jnp.float32) for r in rows)

@@ -180,7 +180,14 @@ def carrier_phase(frequency, phase0):
     grows unbounded while f32 precision decays), so we accumulate in Q32
     *fixed point*: uint32 wraparound IS mod-1, exactly, at any length. The
     quantization bias is f's rounding to 2^-32, i.e. sub-microhertz carrier
-    error — far below the reference's own f32 accumulation drift."""
+    error — far below the reference's own f32 accumulation drift.
+
+    Boundary note: `phase_out` is returned as f32 (SynthState.phase), so
+    CHAINED blocks round the accumulator to 2^-25 once per boundary —
+    ~3e-8 cycle/block, ~1e-4 cycle over thousands of blocks. Inaudible and
+    shared by the streaming tick; paths that need the exact accumulator
+    across boundaries thread the raw Q32 word instead (the fused split
+    path's phase_q32, kernel_fused.synth_fused_pallas)."""
     scale = jnp.float32(4294967296.0)  # 2^32
     fq = (frequency * scale).astype(jnp.uint32)
     csum = jnp.cumsum(fq, axis=0)  # uint32 wraparound = mod 1
