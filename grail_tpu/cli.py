@@ -19,7 +19,6 @@ import time
 
 from . import __version__
 from .api import synthesize
-from .core.constants import DEFAULT_SAMPLE_RATE
 from .languages import language_names
 from .runtime.wav import save_wav
 from .voices import voice_names
@@ -114,7 +113,15 @@ def main(argv=None) -> int:
             print(f"error: -r sample rate must be positive, got {resample}")
             return 1
     else:
-        sample_rate = DEFAULT_SAMPLE_RATE
+        # voice-native: a .json voice authored at another rate must not be
+        # silently resampled to the default (only -r requests a resample)
+        try:
+            from .api import _resolve_voice
+
+            sample_rate = float(_resolve_voice(voice).sample_rate)
+        except KeyError as e:
+            print(f"error: {e.args[0]}")
+            return 1
 
     print(f'"{to_say}"')
     print(f" -- {getattr(voice, 'name', voice)}")
@@ -142,7 +149,7 @@ def main(argv=None) -> int:
     # live playback (the reference's cpal path, examples/cli.rs:205-272):
     # a real sounddevice stream when hardware exists, else a paced mock
     # sink with the same pull contract + underrun counters (headless)
-    if _has_argument(args, "--play", "--play") and \
+    if "--play" in args and \
             not _has_argument(args, "-s", "--silent"):
         from .runtime.playback import open_sink
 

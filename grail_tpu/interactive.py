@@ -24,12 +24,20 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description="grail-tpu interactive streaming TTS")
-    ap.add_argument("-v", "--voice", default="plain")
-    ap.add_argument("-l", "--language", default="english")
+    def positive_int(s):
+        v = int(s)
+        if v < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return v
+
+    ap.add_argument("-v", "--voice", default="plain",
+                    help="voice preset name or a .json voice file")
+    ap.add_argument("-l", "--language", default="english",
+                    help="language preset name or a .json language file")
     ap.add_argument("-o", "--output", default="interactive.wav")
     ap.add_argument("--raw", action="store_true",
                     help="write raw float32 samples to stdout instead of a WAV")
-    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--block", type=positive_int, default=4096)
     ap.add_argument("-c", "--contour", action="store_true")
     ap.add_argument("--play", action="store_true",
                     help="play live through the audio device (or a paced "
@@ -46,8 +54,23 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    session = StreamSession(voice=args.voice, language=args.language,
-                            block=args.block, contour=args.contour)
+    # same -v/-l surface as cli.py: preset names or .json documents, with
+    # the clean error contract (not a raw KeyError traceback)
+    voice, language = args.voice, args.language
+    try:
+        if isinstance(voice, str) and voice.endswith(".json"):
+            from .voices.fileformat import load_voice_file
+
+            voice = load_voice_file(voice)
+        if isinstance(language, str) and language.endswith(".json"):
+            from .languages.fileformat import load_language_file
+
+            language = load_language_file(language)
+        session = StreamSession(voice=voice, language=language,
+                                block=args.block, contour=args.contour)
+    except (KeyError, OSError, ValueError) as e:
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
+        return 1
     sr = int(session.sample_rate)
 
     sink = None
@@ -83,10 +106,13 @@ def main(argv=None) -> int:
                 session.flush()
             except (ValueError, KeyError) as e:
                 # bad command ([typo:..], unknown voice/lang, ...) — report
-                # and keep the stream alive, like any REPL
+                # and keep the stream alive, like any REPL. NO `continue`:
+                # text fed before the error already synthesized score and
+                # must still be drained below, or it would be silently
+                # missing from the output at EOF
                 print(f"error: {e}", file=sys.stderr)
                 session._pending_cmd = ""   # line-oriented REPL: drop the
-                continue                    # fragment, the line is done
+                #                             fragment, the line is done
             # drain everything pending plus a short tail
             n = int(session.pending_seconds * sr) + session.block
             emit(session.read(n))
@@ -94,6 +120,12 @@ def main(argv=None) -> int:
                 sink.end()
     except KeyboardInterrupt:
         pass
+    # final drain (Ctrl-C mid-line): fed text is never silently dropped
+    n = int(session.pending_seconds * sr)
+    if n > 0:
+        emit(session.read(n + session.block))
+        if sink is not None:
+            sink.end()
 
     if sink is not None:
         sink.drain()

@@ -458,6 +458,8 @@ class StreamSession:
         self._pending_chars: List[str] = []
         self._pending_cmd = ""       # unterminated [command fragment held
         #                              across parse_commands=True feeds
+        self._pending_clause = ""    # contour mode: unterminated clause text
+        #                              held until punctuation/flush arrives
         self._residual = np.empty(0, np.float32)  # unserved tail of last block
 
     # -- frontend ----------------------------------------------------------
@@ -507,6 +509,18 @@ class StreamSession:
                     self.feed(payload)
                 else:
                     self._apply_command(kind, payload)
+            return
+        if self.contour:
+            # clause-typed prosody needs the clause TERMINATOR before any of
+            # the clause can be intonated (question rise vs statement fall —
+            # api.text_to_phoneme_elems semantics); buffer until punctuation
+            # or flush() arrives
+            from ..text.intonate import split_clauses_partial
+
+            clauses, self._pending_clause = split_clauses_partial(
+                self._pending_clause + text)
+            for clause, kind, pause in clauses:
+                self._append_clause(clause, kind, pause)
             return
         self._pending_chars.extend(text)
         # incremental automaton run: emits every match that is final
@@ -589,16 +603,48 @@ class StreamSession:
                     self.feed(payload)
                 else:
                     self._apply_command(kind, payload)
+        if self._pending_clause:
+            from ..text.intonate import split_clauses_partial
+
+            clauses, tail = split_clauses_partial(self._pending_clause,
+                                                  final=True)
+            self._pending_clause = ""
+            for clause, kind, pause in clauses:
+                self._append_clause(clause, kind, pause)
+            tail = tail.strip()
+            if tail:   # unterminated final clause: statement, no pause
+                self._append_clause(tail, "statement", None)
         if self._pending_chars:
             phonemes = list(transcribe_chars("".join(self._pending_chars), self.language))
             self._pending_chars = []
             self._append_phonemes(phonemes)
 
-    def _append_phonemes(self, phonemes) -> None:
+    def _append_clause(self, clause: str, kind: str, pause) -> None:
+        """Contour mode: transcribe + intonate one terminated clause with
+        its type and append the trailing pause silence — the exact
+        api.text_to_phoneme_elems clause treatment (including transcribe()'s
+        reference-parity leading Silence per clause), so streamed contour
+        prosody matches the one-shot frontend's."""
+        from ..text.transcribe import transcribe
+
+        self._append_phonemes(transcribe(clause, self.language),
+                              clause=kind, pause=pause)
+
+    def _append_phonemes(self, phonemes, clause: str = "statement",
+                         pause=None) -> None:
         if not phonemes:
             return
-        pelems = intonate(phonemes, self.language, self.voice,
-                          contour=self.contour, speaking_rate=self.speaking_rate)
+        pelems = list(intonate(phonemes, self.language, self.voice,
+                               contour=self.contour,
+                               speaking_rate=self.speaking_rate,
+                               clause=clause))
+        if pause is not None:
+            rate = max(self.speaking_rate, 1e-3)
+            dur = (self.language.intonation.comma_pause if pause == "comma"
+                   else self.language.intonation.sentence_pause) / rate
+            pelems.append(PhonemeElem(Phoneme.SILENCE, dur,
+                                      min(0.5 * dur, 0.06 / rate),
+                                      self.voice.center_frequency))
         self._trim_horizon_tail()
         # glide-merge at append time so the rolling element list is 1:1
         # with the device score's rows (merge_glides only ever folds an
@@ -899,6 +945,8 @@ class StreamSession:
                                  self._lattice._amp_state.state], np.uint32),
             pending=np.frombuffer("".join(self._pending_chars).encode(), np.uint8),
             pending_cmd=np.frombuffer(self._pending_cmd.encode(), np.uint8),
+            pending_clause=np.frombuffer(self._pending_clause.encode(),
+                                         np.uint8),
             residual=self._residual,
             # live-command state: a session that executed [voice:]/[pitch:]/
             # [rate:]/[lang:] must restore with those settings, not the
@@ -990,6 +1038,8 @@ class StreamSession:
         self._pending_chars = list(bytes(g("pending")).decode())
         self._pending_cmd = bytes(g("pending_cmd")).decode() \
             if has("pending_cmd") else ""
+        self._pending_clause = bytes(g("pending_clause")).decode() \
+            if has("pending_clause") else ""
         self._residual = np.asarray(g("residual"), np.float32) if has("residual") \
             else np.empty(0, np.float32)
 

@@ -134,28 +134,49 @@ _CLAUSE_END = {".": "statement", "?": "question", "!": "exclamation",
                ",": "comma", ";": "comma", ":": "comma"}
 
 
+def split_clauses_partial(text: str, final: bool = False):
+    """Incremental clause segmentation: (clauses, tail) where clauses are
+    TERMINATED (clause_text, kind, pause_kind) tuples and `tail` is the raw
+    unterminated remainder (streaming frontends buffer it until more text
+    or a flush arrives). kind is 'statement'/'question'/'exclamation';
+    pause_kind is 'comma'/'sentence'.
+
+    '.', ':' and ';' directly between two digits do NOT terminate a clause
+    ("3.14", "3:30" — a sentence pause mid-number is never intended);
+    abbreviations ("Dr. Smith") are out of scope for this rule. Without
+    `final`, such a punctuation mark at the very end of a digit-trailing
+    buffer is held back too (the next feed may continue the number);
+    final=True (end of input) lets it terminate normally."""
+    out = []
+    start = 0
+    for i, ch in enumerate(text):
+        if ch not in _CLAUSE_END:
+            continue
+        if ch in ".;:" and i > 0 and text[i - 1].isdigit():
+            if i + 1 < len(text) and text[i + 1].isdigit():
+                continue                      # mid-number: not a boundary
+            if i + 1 == len(text) and not final:
+                break                         # "…3." — digits may follow
+        kind = _CLAUSE_END[ch]
+        clause = text[start:i].strip()
+        start = i + 1
+        if clause:
+            if kind == "comma":
+                out.append((clause, "statement", "comma"))
+            else:
+                out.append((clause, kind, "sentence"))
+    return out, text[start:]
+
+
 def split_clauses(text: str) -> List[tuple]:
     """Segment text at punctuation into (clause_text, kind, pause_kind)
     tuples; kind is 'statement'/'question'/'exclamation' and pause_kind is
     'comma'/'sentence'/None (trailing clause without punctuation)."""
-    out = []
-    buf = []
-    for ch in text:
-        if ch in _CLAUSE_END:
-            kind = _CLAUSE_END[ch]
-            clause = "".join(buf).strip()
-            if clause:
-                if kind == "comma":
-                    out.append((clause, "statement", "comma"))
-                else:
-                    out.append((clause, kind, "sentence"))
-            buf = []
-        else:
-            buf.append(ch)
-    tail = "".join(buf).strip()
+    out, tail = split_clauses_partial(text, final=True)
+    tail = tail.strip()
     if tail:
         out.append((tail, "statement", None))
     return out
 
 
-__all__ = ["PhonemeElem", "intonate", "split_clauses"]
+__all__ = ["PhonemeElem", "intonate", "split_clauses", "split_clauses_partial"]
