@@ -88,6 +88,11 @@ class NativeRuleset:
         off_arr = (ctypes.c_int32 * len(offsets))(*offsets)
         self._strings_keepalive = strings
         self._handle = lib.gn_ruleset_new(strings, flat_arr, off_arr, len(rules))
+        if not self._handle:
+            # the native layer rejects empty rule strings (they would spin
+            # the automaton); Language validates this too, so reaching here
+            # means a constructed-around-validation ruleset
+            raise ValueError("ruleset contains an empty rule string")
         self.case_sensitive = language.case_sensitive
         # worst-case phonemes emitted per consumed input char: garbage chars
         # emit 1 (SILENCE); a matched rule emits len(phonemes) for
@@ -142,6 +147,12 @@ def native_encode_wav(data: np.ndarray, sample_rate: int) -> Optional[bytes]:
     out = (ctypes.c_uint8 * (44 + 2 * len(data)))()
     n = lib.gn_encode_wav(data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                           len(data), int(sample_rate), out)
+    if n < 0:
+        # RIFF sizes are uint32; the encoder refuses instead of writing a
+        # wrapped header (the pure-Python struct.pack fails at this bound)
+        raise ValueError(
+            f"{len(data)} samples exceed the WAV format's uint32 size "
+            "limit (~2^31 samples); split the file")
     return bytes(out[:n])
 
 
@@ -166,12 +177,16 @@ def native_drift_boundaries(lengths: np.ndarray, sample_rate: float,
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             residuals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if stall >= 0:
-            # same condition the NumPy twin raises on (score.py)
+            # same conditions the NumPy twin raises on (score.py)
+            bad = float(lengths[stall])
+            if np.isnan(bad):
+                raise ValueError(
+                    f"element length must be finite, got NaN "
+                    f"(element {stall})")
             raise ValueError(
-                f"element length {float(lengths[stall]):.1f}s stalls the "
-                "reference's f32 countdown (dt is below half an ulp); the "
-                "reference sequencer would never advance past it — split "
-                "the element")
+                f"element length {bad:.1f}s stalls the reference's f32 "
+                "countdown (dt is below half an ulp); the reference "
+                "sequencer would never advance past it — split the element")
     return counts, residuals
 
 

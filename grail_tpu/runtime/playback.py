@@ -4,7 +4,7 @@ The reference plays synthesized audio through a cpal callback that pulls
 samples on the OS audio thread's hard real-time schedule
 (/root/reference/examples/cli.rs:205-272, examples/interactive.rs:41-70).
 Here the same pull contract is a `CallbackSink`: the producer write()s
-blocks into a ring buffer and a consumer callback pulls `block` samples
+blocks into a chunk queue and a consumer callback pulls `block` samples
 every block/sample_rate seconds, counting underruns (each one is a missed
 deadline an audio device would render as a glitch) — the same counters as
 benchmarks/latency.py.
@@ -20,6 +20,7 @@ Three consumer flavors:
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 from typing import Optional
@@ -39,7 +40,13 @@ class CallbackSink:
         self.pulls = 0
         self.underruns = 0
         self.worst_late_ms = 0.0
-        self._buf = np.empty(0, np.float32)
+        # chunk deque + head offset: O(1) amortized write, O(block) pull. A
+        # single flat array rebuilt per write made producer cost O(total
+        # backlog) per write — the sink itself induced the underruns it
+        # counts once the backlog grew
+        self._chunks = collections.deque()
+        self._head_off = 0          # consumed samples of the head chunk
+        self._buffered = 0          # total buffered samples
         self._lock = threading.Lock()
         self._started = False    # audio in flight: empty pulls = underruns
         self._ended = True       # end-of-utterance declared: empty = idle
@@ -66,7 +73,9 @@ class CallbackSink:
     def write(self, samples: np.ndarray) -> None:
         a = np.asarray(samples, np.float32).ravel()
         with self._lock:
-            self._buf = np.concatenate([self._buf, a])
+            if len(a):
+                self._chunks.append(a)
+                self._buffered += len(a)
             self._started = True
             self._ended = False
 
@@ -81,7 +90,7 @@ class CallbackSink:
     @property
     def buffered_seconds(self) -> float:
         with self._lock:
-            return len(self._buf) / self.sample_rate
+            return self._buffered / self.sample_rate
 
     def drain(self, timeout: float = 60.0) -> None:
         """Block until the consumer has played everything buffered (the
@@ -90,7 +99,7 @@ class CallbackSink:
         t0 = time.monotonic()
         while time.monotonic() - t0 < timeout:
             with self._lock:
-                if len(self._buf) == 0:
+                if self._buffered == 0:
                     return
             time.sleep(self.period / 2)
 
@@ -117,9 +126,23 @@ class CallbackSink:
         counting an underrun) when the buffer can't cover the block."""
         n = self.block if frames is None else int(frames)
         with self._lock:
-            take = min(n, len(self._buf))
-            out = self._buf[:take]
-            self._buf = self._buf[take:]
+            take = min(n, self._buffered)
+            parts = []
+            need = take
+            while need:
+                head = self._chunks[0]
+                avail = len(head) - self._head_off
+                use = min(avail, need)
+                parts.append(head[self._head_off:self._head_off + use])
+                self._head_off += use
+                need -= use
+                if self._head_off == len(head):
+                    self._chunks.popleft()
+                    self._head_off = 0
+            self._buffered -= take
+            out = (parts[0] if len(parts) == 1
+                   else np.concatenate(parts) if parts
+                   else np.empty(0, np.float32))
             started, ended = self._started, self._ended
             if take < n and started and ended:
                 self._started = False   # utterance fully played out

@@ -37,7 +37,7 @@ def encode_wav(data: np.ndarray, sample_rate: int) -> bytes:
 def save_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
     from .native import native_encode_wav
 
-    payload = native_encode_wav(np.asarray(data, np.float32), sample_rate)
+    payload = native_encode_wav(data, sample_rate)
     if payload is None:
         payload = encode_wav(data, sample_rate)
     with open(path, "wb") as f:
@@ -58,7 +58,11 @@ def load_wav(path: str):
         body = raw[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt, ch, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
             assert fmt == 1 and ch == 1, "only mono PCM supported"
+            # without this, an 8/24/32-bit file was silently reinterpreted
+            # as int16 (wrong sample count, garbage amplitudes)
+            assert bits == 16, f"only 16-bit PCM supported, got {bits}-bit"
         elif cid == b"data":
             data = np.frombuffer(body, np.int16).astype(np.float32) / 32767.0
         pos += 8 + size + (size & 1)

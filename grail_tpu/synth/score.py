@@ -91,6 +91,8 @@ def _reference_boundary_samples_np(lengths, sample_rate: float,
     counts = []
     residuals = []
     for L in lengths:
+        if not np.isfinite(L):
+            raise ValueError(f"element length must be finite, got {L}")
         # the advance happens inside a sample step: time -= dt (crossing
         # below 0), then time += next element's length
         t = np.float32(np.float32(t - dt) + np.float32(L))

@@ -43,8 +43,15 @@ extern "C" {
 
 // Opaque ruleset handle ------------------------------------------------------
 
+// Returns nullptr if any rule string is empty: an empty rule matches at
+// every position without consuming input, so the transcriber loop would
+// spin forever (the Python Language class validates this too; the guard
+// covers direct C ABI users).
 void* gn_ruleset_new(const char* const* strings, const int32_t* phonemes_flat,
                      const int32_t* phoneme_offsets, int32_t n_rules) {
+    for (int32_t i = 0; i < n_rules; ++i) {
+        if (strings[i] == nullptr || strings[i][0] == '\0') return nullptr;
+    }
     auto* rs = new Ruleset();
     rs->strings.reserve(n_rules);
     rs->phonemes.reserve(n_rules);
@@ -60,9 +67,10 @@ void gn_ruleset_free(void* handle) { delete static_cast<Ruleset*>(handle); }
 
 // Transcription --------------------------------------------------------------
 //
-// Returns the number of phonemes written (<= out_cap); sets *consumed to the
-// number of input bytes consumed. ASCII-oriented like the reference's
-// to_ascii_lowercase path (non-ASCII bytes are treated as opaque symbols).
+// Returns the number of phonemes written (<= out_cap); always consumes the
+// whole input (whole-string transcription, end-of-input flushes the final
+// match). ASCII-oriented like the reference's to_ascii_lowercase path
+// (non-ASCII bytes are treated as opaque symbols).
 
 int32_t gn_transcribe(void* handle, const char* text, int32_t text_len,
                       int32_t case_sensitive, int32_t* out, int32_t out_cap) {
@@ -163,6 +171,9 @@ int64_t gn_drift_boundaries2(const float* lengths, int64_t e, float sr,
     float t = t0;
     int64_t cum = 0;
     for (int64_t i = 0; i < e; ++i) {
+        if (!(lengths[i] == lengths[i])) return i;   // NaN length: the
+        // NumPy twin raises on it; silently carrying a NaN residual would
+        // collapse every later element to a 1-sample boundary
         t = (t - dt) + lengths[i];
         int64_t count = 1;                   // the entry sample
         // negated comparison so a NaN length terminates instead of spinning
@@ -186,6 +197,13 @@ int64_t gn_drift_boundaries2(const float* lengths, int64_t e, float sr,
 
 int64_t gn_encode_wav(const float* data, int64_t n, int32_t sample_rate,
                       uint8_t* out) {
+    // RIFF sizes are uint32: past ~2^31 samples the header would silently
+    // wrap while the sample loop wrote the full 2n bytes. Error instead
+    // (the pure-Python encoder's struct.pack fails loudly at the same
+    // bound); callers raise on a negative return.
+    if (n < 0 || static_cast<uint64_t>(n) * 2u + 36u > 0xFFFFFFFFull) {
+        return -1;
+    }
     const uint32_t payload = static_cast<uint32_t>(n * 2);
     auto put_u32 = [&](int64_t off, uint32_t v) {
         out[off] = v & 0xFF; out[off + 1] = (v >> 8) & 0xFF;

@@ -111,3 +111,56 @@ def test_cli_json_voice_keeps_native_rate(tmp_path):
     assert main(["-s", "-v", vpath, "-o", wav, "aeae"]) == 0
     audio, sr = load_wav(wav)
     assert sr == 22050
+
+
+def test_sink_chunked_buffer_roundtrip():
+    # deque-of-chunks buffer: arbitrary write/pull interleavings must
+    # reproduce the stream gap-free (replaces the O(backlog)-per-write
+    # flat-array buffer)
+    from grail_tpu.runtime.playback import CallbackSink
+
+    rng = np.random.default_rng(3)
+    sink = CallbackSink(44100.0, block=96, mode="manual")
+    src = rng.standard_normal(10_000).astype(np.float32)
+    fed = 0
+    got = []
+    # keep the producer AHEAD of the consumer (pull zero-fills on a real
+    # underrun by design, which would interleave zeros into the stream)
+    while fed < len(src) or sink.buffered_seconds > 0:
+        while fed < len(src) and sink.buffered_seconds * 44100.0 < 1000:
+            k = int(rng.integers(1, 700))
+            sink.write(src[fed:fed + k])
+            fed += k
+        take = int(rng.integers(1, 300))
+        if fed >= len(src):
+            take = min(take, max(int(sink.buffered_seconds * 44100.0), 1))
+        got.append(sink.pull(take))
+    out = np.concatenate(got)
+    assert len(out) >= len(src)
+    np.testing.assert_array_equal(out[:len(src)], src)
+    assert np.all(out[len(src):] == 0)
+
+
+def test_load_wav_rejects_non_16bit(tmp_path):
+    import struct
+
+    payload = b"\x00" * 300
+    header = b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(payload)), b"WAVE", b"fmt ",
+        struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100 * 3, 3, 24),
+        b"data", struct.pack("<I", len(payload))])
+    p = tmp_path / "bad.wav"
+    p.write_bytes(header + payload)
+    from grail_tpu.runtime.wav import load_wav
+
+    with pytest.raises(AssertionError, match="16-bit"):
+        load_wav(str(p))
+
+
+def test_drift_sim_rejects_nan_lengths():
+    from grail_tpu.synth.score import (_reference_boundary_samples,
+                                       _reference_boundary_samples_np)
+
+    for fn in (_reference_boundary_samples, _reference_boundary_samples_np):
+        with pytest.raises(ValueError, match="finite"):
+            fn(np.asarray([0.5, np.nan, 0.5], np.float32), 44100.0)
