@@ -55,7 +55,7 @@ def main():
 
     from grail_tpu import languages as lang_mod
     from grail_tpu.api import text_to_phoneme_elems, synthesize, synthesize_batch
-    from grail_tpu.oracle import oracle_dsp_chain
+    from grail_tpu.oracle import gold_dsp_chain
     from grail_tpu.utils import sample_error_db, spectral_error_db
     from grail_tpu.voices import get_spec, get_voice
 
@@ -89,7 +89,10 @@ def main():
     if os.path.exists(cache_file):
         gold = np.load(cache_file)
     else:
-        gold = oracle_dsp_chain(pelems, spec)
+        # native C++ twin when built (bit-identical, ~1000x the NumPy
+        # oracle's speed — tests/test_native_oracle.py pins the equality),
+        # NumPy fallback otherwise
+        gold = gold_dsp_chain(pelems, spec)
         np.save(cache_file, gold)
     if args.gold_only:
         print(json.dumps({"bench": "fidelity", "gold_cached": key,
