@@ -93,6 +93,33 @@ def test_native_twin_rejects_nonfinite_length():
             [PhonemeElem(Phoneme.A, float("inf"), 0.1, 0.003)], spec)
 
 
+def test_native_twin_fuzz_random_scores():
+    # randomized scores hit element-presence combinations the corpus never
+    # does: specials adjacent to sounds, blend > length, zero-length
+    # elements (one sample each in both state machines), extreme pitches
+    rng = np.random.default_rng(0xC0FFEE)
+    spec = get_spec("plain")
+    sounds = [p for p in Phoneme if p.name not in ("SILENCE", "STOP", "GLIDE")]
+    specials = [Phoneme.SILENCE, Phoneme.STOP]
+    for case in range(20):
+        pel = []
+        for _ in range(int(rng.integers(1, 8))):
+            pool = specials if rng.random() < 0.3 else sounds
+            length = float(rng.choice(
+                [0.0, 0.011, 0.02 + 0.05 * rng.random()],
+                p=[0.15, 0.35, 0.5]))
+            blend = float(rng.choice(
+                [0.0, 0.01 * rng.random(), 0.2 * rng.random()],
+                p=[0.1, 0.5, 0.4]))
+            freq = float(rng.choice([0.0005, 0.003, 0.02, 0.4]))
+            pel.append(PhonemeElem(pool[int(rng.integers(len(pool)))],
+                                   length, blend, freq))
+        seed = int(rng.integers(0, 2**32))
+        g_py = oracle_dsp_chain(pel, spec, jitter_seed=seed)
+        g_c = native_oracle_dsp_chain(pel, spec, jitter_seed=seed)
+        assert _bits_equal(g_py, g_c), (case, pel, seed)
+
+
 def test_gold_dsp_chain_routes_native():
     # gold_dsp_chain must agree with the Python oracle whichever branch runs
     spec = get_spec("generic")
