@@ -6,13 +6,20 @@ The grail-rs CLI synthesizes one utterance per process
 every utterance runs in its own kernel lane, so 64 utterances cost barely
 more wall-clock than one. Mixed voices and languages are fine.
 
-    python examples/batch_tts.py outdir/
+    python examples/batch_tts.py outdir/          # default accelerator
+    python examples/batch_tts.py --cpu outdir/    # force host CPU
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:                # the env var alone is not enough on
+    sys.argv.remove("--cpu")           # platforms with plugin backends
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from grail_tpu.api import synthesize_batch            # noqa: E402
 from grail_tpu.runtime.wav import save_wav            # noqa: E402

@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:                # the env var alone is not enough on
+    sys.argv.remove("--cpu")           # platforms with plugin backends
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np                                     # noqa: E402
 
 from grail_tpu.runtime.stream import StreamPool        # noqa: E402

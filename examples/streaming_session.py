@@ -6,13 +6,20 @@ Feed text incrementally (chunks may split anywhere, even inside a
 [command]); read audio in blocks on your own schedule; checkpoint and
 resume bit-exactly.
 
-    python examples/streaming_session.py out.wav
+    python examples/streaming_session.py out.wav          # accelerator
+    python examples/streaming_session.py --cpu out.wav    # force host CPU
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:                # the env var alone is not enough on
+    sys.argv.remove("--cpu")           # platforms with plugin backends
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np                                     # noqa: E402
 
