@@ -144,15 +144,36 @@ def pool_deadline(args):
         dispatches = []
         dispatch_late = 0
         t0 = time.perf_counter() + period
+        # Text feeds run on their OWN thread, mirroring the reference's
+        # architecture: interactive.rs's stdin thread sends chars over an
+        # mpsc channel while the audio callback only pulls samples
+        # (/root/reference/examples/interactive.rs:28,41-81). Feeding from
+        # the RT loop itself serialized the feed's host-side score work
+        # into the dispatch slot and showed up as periodic slipped ticks.
+        feeds_done = [0]
+
+        def feeder_loop():
+            k = 0
+            while True:
+                target = t0 + k * period
+                dt = target - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+                if k >= args.ticks:
+                    return
+                i = int(rng.integers(0, n))
+                pool.feed(i, texts[int(rng.integers(0, len(texts)))])
+                pool.flush(i)
+                feeds_done[0] += 1
+                k += feed_every
+
+        feeder = threading.Thread(target=feeder_loop, daemon=True)
+        feeder.start()
         for k in range(args.ticks):
             target = t0 + k * period
             now = time.perf_counter()
             if now < target:
                 time.sleep(target - now)
-            if k % feed_every == 0:
-                i = int(rng.integers(0, n))
-                pool.feed(i, texts[int(rng.integers(0, len(texts)))])
-                pool.flush(i)
             td = time.perf_counter()
             out = pool.serve_tick()
             te = time.perf_counter()
@@ -170,6 +191,7 @@ def pool_deadline(args):
             inq.put(None)
         for th in workers:
             th.join(timeout=120)
+        feeder.join(timeout=120)
         gc.enable()
         pool.serve_stop()
 
@@ -205,6 +227,7 @@ def pool_deadline(args):
             "ticks": args.ticks,
             "architecture": "serve_mode_rt_dispatch_only",
             "sink_workers": args.sink_workers,
+            "live_feeds": feeds_done[0],
             "deadline_misses": miss[2],
             "miss_rate": round(miss[2] / args.ticks, 5),
             "deadline_misses_depth3": miss[3],
