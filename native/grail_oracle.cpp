@@ -120,26 +120,24 @@ inline float tan_approx(float x) {
     return num / den;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Full reference DSP chain downstream of selection: SequenceElems ->
-// sequencer -> jitter -> synthesize -> samples. Element i has sound
-// parameters iff present[i] != 0 (SILENCE/STOP/undefined rows pass 0; their
-// field rows are ignored). Per-formant fields are [e][8] row-major.
-//
-// Returns the number of samples written; -1 if out_cap was exceeded;
-// -2 - i if element i has a non-finite length (the Python oracle would
-// never terminate on it either — callers must reject such scores).
-int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
-                            const float* blend, const float* frequency,
-                            const float* ff, const float* fbw,
-                            const float* fsm, const float* fbr,
-                            const float* ftb, const float* famp, int64_t e,
-                            float sample_rate, uint32_t jitter_seed,
-                            float jf, float jdf, float jdff, float jda,
-                            float* out, int64_t out_cap) {
+// Full reference DSP chain downstream of selection (see the public entry
+// points below). jitter_mode / carrier_mode select semantic variants for
+// divergence attribution (the "lab" entry point):
+//   jitter_mode  0 = reference f32 phase accumulation (src/lib.rs:236-249)
+//                1 = drift-free closed form i = floor(f32(k)*inc) — the
+//                    pre-r4 production schedule (synth/jitter.py history)
+//   carrier_mode 0 = reference f32 phase accumulation (src/lib.rs:520-525)
+//                1 = production Q32 fixed point: uint32 wraparound cumsum of
+//                    (f * 2^32) casts, dequantized per sample
+//                    (synth/synthesize.py:carrier_phase)
+static int64_t oracle_chain_impl(
+        const int32_t* present, const float* length, const float* blend,
+        const float* frequency, const float* ff, const float* fbw,
+        const float* fsm, const float* fbr, const float* ftb,
+        const float* famp, int64_t e, float sample_rate,
+        uint32_t jitter_seed, float jf, float jdf, float jdff, float jda,
+        float* out, int64_t out_cap,
+        int32_t jitter_mode, int32_t carrier_mode) {
     for (int64_t i = 0; i < e; ++i) {
         if (!(length[i] - length[i] == 0.0f)) return -2 - i;  // inf or NaN
     }
@@ -150,9 +148,11 @@ int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
     ArrayValueNoise formant_freq_noise(shared);
     ArrayValueNoise formant_amp_noise(shared);
     const float half_jda = 0.5f * jda;
+    int64_t jk = 0, jcell = 0;  // drift-free schedule state (jitter_mode 1)
 
     // synthesize state (reference Synthesize init, src/lib.rs:587-596)
     float phase = 0.0f;
+    uint32_t qsum = 0;  // Q32 carrier accumulator (carrier_mode 1)
     float state_a[kNF] = {0}, state_b[kNF] = {0}, state_c[kNF] = {0};
     Rng synth_rng{0};
 
@@ -251,10 +251,47 @@ int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
 
         // ---- jitter (oracle_jitter, src/lib.rs:750-798)
         {
-            const float fn = freq_noise.next(jf);
-            float ffn[kNF], fan[kNF];
-            formant_freq_noise.next(jf, ffn);
-            formant_amp_noise.next(jf, fan);
+            float fn, ffn[kNF], fan[kNF];
+            if (jitter_mode == 0) {
+                fn = freq_noise.next(jf);
+                formant_freq_noise.next(jf, ffn);
+                formant_amp_noise.next(jf, fan);
+            } else {
+                // drift-free schedule: cell i = floor(f32(k)*inc), shared by
+                // all three generators (their f32 phases are identical);
+                // f32 ops mirror synth/jitter.py:jitter_values
+                ++jk;
+                const float ph = static_cast<float>(jk) * jf;
+                const int64_t i = static_cast<int64_t>(floorf(ph));
+                const float phi = ph - static_cast<float>(i);
+                while (jcell < i) {
+                    freq_noise.current = freq_noise.next_v;
+                    freq_noise.next_v = freq_noise.rng.next();
+                    for (int j = 0; j < kNF; ++j) {
+                        formant_freq_noise.current[j] = formant_freq_noise.next_v[j];
+                    }
+                    for (int j = 0; j < kNF; ++j) {
+                        formant_freq_noise.next_v[j] = formant_freq_noise.rng.next();
+                    }
+                    for (int j = 0; j < kNF; ++j) {
+                        formant_amp_noise.current[j] = formant_amp_noise.next_v[j];
+                    }
+                    for (int j = 0; j < kNF; ++j) {
+                        formant_amp_noise.next_v[j] = formant_amp_noise.rng.next();
+                    }
+                    ++jcell;
+                }
+                const float ip = 1.0f - phi;
+                fn = freq_noise.current * ip + freq_noise.next_v * phi;
+                for (int j = 0; j < kNF; ++j) {
+                    ffn[j] = formant_freq_noise.current[j] * ip +
+                             formant_freq_noise.next_v[j] * phi;
+                }
+                for (int j = 0; j < kNF; ++j) {
+                    fan[j] = formant_amp_noise.current[j] * ip +
+                             formant_amp_noise.next_v[j] * phi;
+                }
+            }
             ej.frequency = ej.frequency + (fn * jdf);
             for (int i = 0; i < kNF; ++i)
                 ej.ff[i] = ej.ff[i] + ffn[i] * jdff;
@@ -267,6 +304,11 @@ int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
         // ---- synthesize (oracle_synthesize, src/lib.rs:497-578)
         {
             const float f = ej.frequency;
+            if (carrier_mode != 0) {
+                // production Q32 track: dequantize the exclusive prefix sum
+                // (u32 -> f32 rounds to nearest, * 2^-32 is exact)
+                phase = static_cast<float>(qsum) * (1.0f / 4294967296.0f);
+            }
             float polyblep;
             if (phase < f) {
                 const float t = phase / f;
@@ -279,8 +321,14 @@ int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
             }
             const float saw = (2.0f * phase - 1.0f) - polyblep;
 
-            phase = phase + f;
-            if (phase >= 1.0f) phase = phase - 1.0f;
+            if (carrier_mode == 0) {
+                phase = phase + f;
+                if (phase >= 1.0f) phase = phase - 1.0f;
+            } else {
+                // (f * 2^32) rounds in f32, cast truncates, u32 add wraps —
+                // the XLA core's carrier_phase semantics
+                qsum += static_cast<uint32_t>(f * 4294967296.0f);
+            }
 
             const float noise = synth_rng.next();
 
@@ -313,6 +361,76 @@ int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
             out[n_out++] = s * 0.5f;
         }
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full reference DSP chain downstream of selection: SequenceElems ->
+// sequencer -> jitter -> synthesize -> samples. Element i has sound
+// parameters iff present[i] != 0 (SILENCE/STOP/undefined rows pass 0; their
+// field rows are ignored). Per-formant fields are [e][8] row-major.
+//
+// Returns the number of samples written; -1 if out_cap was exceeded;
+// -2 - i if element i has a non-finite length (the Python oracle would
+// never terminate on it either — callers must reject such scores).
+int64_t gn_oracle_dsp_chain(const int32_t* present, const float* length,
+                            const float* blend, const float* frequency,
+                            const float* ff, const float* fbw,
+                            const float* fsm, const float* fbr,
+                            const float* ftb, const float* famp, int64_t e,
+                            float sample_rate, uint32_t jitter_seed,
+                            float jf, float jdf, float jdff, float jda,
+                            float* out, int64_t out_cap) {
+    return oracle_chain_impl(present, length, blend, frequency, ff, fbw, fsm,
+                             fbr, ftb, famp, e, sample_rate, jitter_seed, jf,
+                             jdf, jdff, jda, out, out_cap, 0, 0);
+}
+
+// Divergence-attribution twin: same chain with selectable jitter/carrier
+// semantics (see oracle_chain_impl). Never on a production or gold path —
+// it exists to measure which f32-accumulation behaviors the device paths
+// must reproduce to meet the -60 dB gate (docs/PARITY.md).
+int64_t gn_oracle_dsp_chain_lab(const int32_t* present, const float* length,
+                                const float* blend, const float* frequency,
+                                const float* ff, const float* fbw,
+                                const float* fsm, const float* fbr,
+                                const float* ftb, const float* famp,
+                                int64_t e, float sample_rate,
+                                uint32_t jitter_seed, float jf, float jdf,
+                                float jdff, float jda, float* out,
+                                int64_t out_cap, int32_t jitter_mode,
+                                int32_t carrier_mode) {
+    return oracle_chain_impl(present, length, blend, frequency, ff, fbw, fsm,
+                             fbr, ftb, famp, e, sample_rate, jitter_seed, jf,
+                             jdf, jdff, jda, out, out_cap, jitter_mode,
+                             carrier_mode);
+}
+
+// Reference value-noise phase schedule simulator (src/lib.rs:236-249): the
+// f32 accumulation `phase += inc; if (phase > 1) phase -= 1` shared by the
+// three jitter generators (identical f32 phase sequences). Produces, for T
+// steps from `phase0`, the post-wrap per-sample phase phi[k] and the
+// cumulative wrap count cell[k] (cells entered since this call's start,
+// INCLUDING a wrap at sample k). Returns the total wrap count; final state
+// for continuation is (phi[T-1], base_cell + return). The production device
+// paths consume these arrays in place of the closed form floor(k*inc),
+// which drifts from the reference by whole cells over ~10^6 samples.
+int64_t gn_jitter_phase_schedule(float inc, float phase0, int64_t T,
+                                 float* phi, int32_t* cell) {
+    float phase = phase0;
+    int64_t wraps = 0;
+    for (int64_t k = 0; k < T; ++k) {
+        phase = phase + inc;
+        if (phase > 1.0f) {
+            phase = phase - 1.0f;
+            ++wraps;
+        }
+        phi[k] = phase;
+        cell[k] = static_cast<int32_t>(wraps);
+    }
+    return wraps;
 }
 
 }  // extern "C"
