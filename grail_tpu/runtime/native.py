@@ -55,6 +55,11 @@ def _load():
                     ctypes.c_float, ctypes.c_float,
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_float)]
+                lib.gn_jitter_phase_schedule.restype = ctypes.c_int64
+                lib.gn_jitter_phase_schedule.argtypes = [
+                    ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32)]
                 _lib = lib
             except (OSError, AttributeError):
                 # AttributeError: a stale .so missing a symbol — degrade to
@@ -190,5 +195,25 @@ def native_drift_boundaries(lengths: np.ndarray, sample_rate: float,
     return counts, residuals
 
 
+def native_jitter_schedule(inc, phase0, T: int, phi: np.ndarray,
+                           cell: np.ndarray):
+    """Reference value-noise phase recurrence (gn_jitter_phase_schedule):
+    T steps of `phase = f32(phase + inc); if phase > 1: phase -= 1` from
+    `phase0` into phi f32 [T] / cell i32 [T] (cell = wraps since this call,
+    including a wrap at that sample). Returns the total wrap count, or None
+    without the library (synth/schedule.py falls back to the NumPy twin)."""
+    lib = _load()
+    if lib is None or getattr(lib, "gn_jitter_phase_schedule", None) is None:
+        return None
+    assert phi.dtype == np.float32 and cell.dtype == np.int32
+    assert phi.flags.c_contiguous and cell.flags.c_contiguous
+    assert len(phi) >= T and len(cell) >= T
+    return int(lib.gn_jitter_phase_schedule(
+        ctypes.c_float(float(inc)), ctypes.c_float(float(phase0)), int(T),
+        phi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cell.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+
+
 __all__ = ["available", "NativeRuleset", "native_transcribe",
-           "native_encode_wav", "native_drift_boundaries"]
+           "native_encode_wav", "native_drift_boundaries",
+           "native_jitter_schedule"]
