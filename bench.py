@@ -43,8 +43,10 @@ def main(force_cpu: bool = False):
     import jax.numpy as jnp
 
     from grail_tpu.api import (WARMUP, _round_up, _score_num_samples,
-                               _synth_jit_batch, _synth_jit_split_fused,
-                               default_backend, text_to_score)
+                               _split_sched, _synth_jit_batch,
+                               _synth_jit_split_fused, default_backend,
+                               text_to_score)
+    from grail_tpu.synth.schedule import device_window
     from grail_tpu.synth.jitter import JitterLattice, build_lattice
     from grail_tpu.synth.kernel_fused import CHUNK_F, CHUNK_PRE, LANE_F
     from grail_tpu.synth.score import stack_scores
@@ -72,10 +74,19 @@ def main(force_cpu: bool = False):
                jnp.float32(voice.jitter_delta_amplitude))
     srj = jnp.float32(sr)
 
+    inc = float(voice.jitter_frequency)
+    if S > 1:
+        sched_pre, sched_seg, lat_shift = _split_sched(inc, T, S)
+    else:
+        sched = device_window(inc, 0, T)
+
     def run():
         if S > 1:
-            return _synth_jit_split_fused(batched, lattices, jparams, srj, T, S)
-        return _synth_jit_batch(batched, lattices, jparams, srj, T, backend)
+            return _synth_jit_split_fused(batched, lattices, jparams, srj,
+                                          sched_pre, sched_seg, lat_shift,
+                                          T, S)
+        return _synth_jit_batch(batched, lattices, jparams, srj, sched,
+                                T, backend)
 
     out = run()
     _ = float(np.asarray(out[0, 0]))  # compile + real sync

@@ -43,20 +43,25 @@ def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
         voice.jitter_frequency, voice.jitter_delta_frequency,
         voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
     srj = jnp.float32(sr)
+    from grail_tpu.synth.schedule import device_window
 
-    out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+    sched = device_window(float(voice.jitter_frequency), 0, T)
+
+    out = _synth_jit_batch(batched, lattices, jp, srj, sched, T, backend)
     _ = float(np.asarray(out[0, 0]))
     if trace_dir:
         # jax.profiler trace of one steady-state iteration; the final fetch
         # forces completion (axon's block_until_ready does not synchronize)
         with jax.profiler.trace(trace_dir):
-            out = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+            out = _synth_jit_batch(batched, lattices, jp, srj, sched, T,
+                                   backend)
             _ = float(np.asarray(out[0, 0]))
     def timed(k):
         t0 = time.perf_counter()
         o = None
         for _i in range(k):
-            o = _synth_jit_batch(batched, lattices, jp, srj, T, backend)
+            o = _synth_jit_batch(batched, lattices, jp, srj, sched, T,
+                                 backend)
         _ = float(np.asarray(o[0, 0]))
         return time.perf_counter() - t0
 
@@ -120,8 +125,15 @@ def run_attr(B, iters=3):
         voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
     srj = jnp.float32(sr)
 
+    from grail_tpu.synth.schedule import device_window
+
+    phi_s, cell_s = device_window(float(voice.jitter_frequency), 0, T)
+    sched = (phi_s, cell_s)
+    sched2 = (phi_s[:, None], cell_s[:, None])
+
     tables_fn = jax.jit(lambda s, l: build_tables(s, l, jp, srj))
-    kernel_fn = jax.jit(functools.partial(synth_fused_pallas, T=T))
+    kernel_fn = jax.jit(functools.partial(synth_fused_pallas, T=T,
+                                          sched=sched2))
 
     tables = jax.device_put(jax.tree.map(np.asarray, tables_fn(batched, lattices)))
 
@@ -144,7 +156,8 @@ def run_attr(B, iters=3):
     t_ker = amortized(lambda: kernel_fn(tables),
                       lambda o: float(np.asarray(o[0][0, 0])))
     t_full = amortized(
-        lambda: _synth_jit_batch(batched, lattices, jp, srj, T, "fused"),
+        lambda: _synth_jit_batch(batched, lattices, jp, srj, sched, T,
+                                 "fused"),
         lambda o: float(np.asarray(o[0, 0])))
     audio_seconds = sum(Ns) / sr
     lane_tiles = Bp // LANE

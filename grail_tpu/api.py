@@ -129,19 +129,23 @@ def _check_backend(backend: str) -> str:
 
 @functools.partial(jax.jit, static_argnames=("T", "use_scan"))
 def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
-               T: int, use_scan: bool = False):
+               sched, T: int, use_scan: bool = False):
     """Fused blockwise pipeline for one utterance.
 
     The top-level scan iterates time blocks; each step expands the score,
     applies jitter, and synthesizes — so per-sample parameter arrays live
     only block-sized in VMEM-adjacent working sets, never [T, ...] in HBM.
+
+    `sched` = (phi [T], cell [T]) exact jitter phase schedule for absolute
+    samples 1..T (synth/schedule.py).
     """
+    from .synth.jitter import sched_slice
     from .synth.synthesize import SynthState, _block_core
 
     jf, jdf, jdff, jda = jparams
     if use_scan:
         elems, valid = expand_score(score, sample_rate, T)
-        elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda)
+        elems = apply_jitter(elems, lattice, jdf, jdff, jda, sched)
         out, _ = synthesize_scan(elems)
         return out * valid
 
@@ -151,7 +155,8 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
     def step(st, i):
         off = i * blk
         elems, valid = expand_score(score, sample_rate, blk, offset=off)
-        elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=off)
+        elems = apply_jitter(elems, lattice, jdf, jdff, jda,
+                             sched_slice(sched, off, blk))
         out, st = _block_core(elems, st)
         return st, out * valid
 
@@ -161,7 +166,7 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
 
 @functools.partial(jax.jit, static_argnames=("T", "backend"))
 def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rate,
-                     T: int, backend: str = "xla"):
+                     sched, T: int, backend: str = "xla"):
     """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T].
 
     backend: 'fused' (fully-fused TPU kernel: expansion + jitter + DSP in
@@ -169,7 +174,12 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
     interpreter mode — CPU testing), 'pallas' (round-1 streaming kernel:
     XLA-side prep + sequential-core kernel), 'pallas_interpret', 'xla'
     (associative-scan core), or 'scan' (lax.scan reference core).
+
+    `sched` = (phi [T], cell [T]) exact jitter schedule, SHARED by every
+    lane (all utterances start at jitter position 0 and the schedule is
+    seed-independent).
     """
+    from .synth.jitter import sched_slice
     from .synth.synthesize import SynthState, _block_core
 
     jf, jdf, jdff, jda = jparams
@@ -179,8 +189,10 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
         from .synth.kernel_fused import build_tables, synth_fused_pallas
 
         tables = build_tables(scores, lattices, jparams, sample_rate)
-        audio, _ = synth_fused_pallas(
-            tables, T, interpret=backend == "fused_interpret")
+        phi, cell = sched
+        audio, _, _ = synth_fused_pallas(
+            tables, T, sched=(phi[:, None], cell[:, None]),
+            interpret=backend == "fused_interpret")
         return audio.T                                       # [B, T]
 
     if backend == "scan":
@@ -188,7 +200,8 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
         def expand_one(score, lattice, jdf_, jdff_, jda_):
             elems, valid = expand_score(score, sample_rate, T)
-            return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_), valid
+            return apply_jitter(elems, lattice, jdf_, jdff_, jda_,
+                                sched), valid
 
         elems, valid = jax.vmap(expand_one, in_axes=(0, 0, da, da, da))(
             scores, lattices, jdf, jdff, jda)
@@ -206,11 +219,12 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
     def step(st, i):
         off = i * blk
+        sched_b = sched_slice(sched, off, blk)
 
         def expand_one(score, lattice, jdf_, jdff_, jda_):
             elems, valid = expand_score(score, sample_rate, blk, offset=off)
-            return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_,
-                                offset=off), valid
+            return apply_jitter(elems, lattice, jdf_, jdff_, jda_,
+                                sched_b), valid
 
         elems, valid = jax.vmap(expand_one, in_axes=(0, 0, d_axes, d_axes, d_axes))(
             scores, lattices, jdf, jdff, jda)               # [B, blk, ...]
@@ -301,7 +315,7 @@ def _split_lane_setup(scores, lattices, jdf, jdff, jda, T: int, S: int,
 
 @functools.partial(jax.jit, static_argnames=("T", "S"))
 def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rate,
-                     T: int, S: int):
+                     sched, T: int, S: int):
     """Overlap-save split pipeline: B utterances x S time segments run in
     B*S kernel lanes (Pallas backend).
 
@@ -313,7 +327,13 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     seeds come from closed-form skip-ahead (negative skip for the first
     segment's pre-roll, whose forcing is silent by construction).
     Requires T % (S * BLOCK_SIZE) == 0.
+
+    `sched` = (phi, cell) exact jitter schedule covering absolute samples
+    -WARMUP+1 .. T (index j <-> absolute sample j - WARMUP + 1), so both
+    the pre-pass (samples 1..T at index off+W) and every segment pre-roll
+    (index off + g0 + W >= 0) slice from one array.
     """
+    from .synth.jitter import jitter_values, sched_slice
     from .synth.kernel import synth_core_pallas
     from .synth.sequencer import expand_frequency
     from .synth.synthesize import SynthState
@@ -333,14 +353,13 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     # same frequency stream the segments will synthesize)
     scale = jnp.float32(4294967296.0)
 
-    from .synth.jitter import jitter_values
-
     def pre_step(qsum, i):
         off = i * blk
+        sched_b = sched_slice(sched, off + W, blk)
 
         def one(score, lattice, jdf_):
             f, valid = expand_frequency(score, sample_rate, blk, offset=off)
-            pitch, _, _ = jitter_values(lattice, blk, jf, off)
+            pitch, _, _ = jitter_values(lattice, *sched_b)
             f = f + pitch * valid.astype(jnp.float32) * jdf_
             fq = (f * scale).astype(jnp.uint32)
             return jnp.sum(fq, dtype=jnp.uint32)
@@ -374,8 +393,9 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
         def expand_one(score, lattice, jdf_, jdff_, jda_, g0_):
             elems, valid = expand_score(score, sample_rate, blk, offset=off + g0_)
-            return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_,
-                                offset=off + g0_, mask=valid), valid
+            return apply_jitter(elems, lattice, jdf_, jdff_, jda_,
+                                sched_slice(sched, off + g0_ + W, blk),
+                                mask=valid), valid
 
         elems, valid = jax.vmap(expand_one, in_axes=(0, 0, dd, dd, dd, 0))(
             scores_t, lattices_t, jdf_t, jdff_t, jda_t, g0_lane)
@@ -391,7 +411,8 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
 @functools.partial(jax.jit, static_argnames=("T", "S", "interpret"))
 def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
-                           sample_rate, T: int, S: int,
+                           sample_rate, sched_pre, sched_seg, lat_shift,
+                           T: int, S: int,
                            interpret: bool = False):
     """Overlap-save split on the fully-fused kernel: B utterances x S time
     segments run in B*S kernel lanes, one pallas_call for everything.
@@ -403,6 +424,13 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     frequency stream here MUST stay arithmetic-identical to the kernel's
     in-VMEM expansion (expand_frequency + masked pitch jitter replicate
     kernel phases A-C for the scalar frequency field).
+
+    Exact jitter schedule inputs (host-built by _split_sched):
+    `sched_pre`  — (phi [T, 1], cell [T, 1]) for the pre-pass (samples 1..T)
+    `sched_seg`  — (phi [Text, S], cell [Text, S]): per-SEGMENT windows
+                   (segment s covers absolute samples s*Ts - W + 1 ..);
+                   lanes are s-major so each column repeats B times.
+    `lat_shift`  — [S] i32 exact cell at each segment's jitter start.
     """
     from .synth.kernel_fused import (build_tables, phase_q32_pre_block,
                                      synth_fused_pallas)
@@ -420,7 +448,7 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     # ---- pre-pass: Q32 phase at block boundaries (exact integral of the
     # same frequency stream the fused kernel will synthesize)
     q_at_block = phase_q32_pre_block(scores, lattices, jf, jdf,
-                                     sample_rate, T, blk,
+                                     sample_rate, T, blk, sched=sched_pre,
                                      interpret=interpret)       # [nb, B]
 
     q_seg = q_at_block[jnp.maximum(g0, 0) // blk]             # [S, B] uint32
@@ -436,12 +464,57 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
         seed=seed0,
     )
     tables = build_tables(scores_t, lattices_t, (jf, jdf_t, jdff_t, jda_t),
-                          sample_rate, g0=g0_lane)
-    full, _ = synth_fused_pallas(tables, Text, state=state0,
-                                 phase_q32=phase_q32,
-                                 interpret=interpret)        # [Text, S*B]
+                          sample_rate, g0=g0_lane,
+                          lat_shift=jnp.repeat(
+                              jnp.asarray(lat_shift, jnp.int32), B))
+    # expand the compact per-segment schedule columns to s-major lanes
+    # (cheap HBM broadcast; the compact form keeps host build + upload at
+    # O(T), not O(T*B))
+    phi_seg = jnp.repeat(jnp.asarray(sched_seg[0], jnp.float32), B, axis=1)
+    cell_seg = jnp.repeat(jnp.asarray(sched_seg[1], jnp.int32), B, axis=1)
+    full, _, _ = synth_fused_pallas(tables, Text, state=state0,
+                                    phase_q32=phase_q32,
+                                    sched=(phi_seg, cell_seg),
+                                    interpret=interpret)     # [Text, S*B]
     segs = full[W:].T.reshape(S, B, Ts)
     return jnp.moveaxis(segs, 0, 1).reshape(B, T)
+
+
+_split_sched_cache = {}
+
+
+def _split_sched(inc, T: int, S: int):
+    """Host-built exact-schedule inputs for the split paths, memoized per
+    (rate, T, S): (sched_pre [T,1]x2, sched_seg [Text,S]x2, lat_shift [S]).
+
+    One flat native simulation covers samples -WARMUP+1 .. T; segment
+    windows are views stacked into the kernel's compact s-major layout
+    (columns repeat per-B inside the jit — see _synth_jit_split_fused)."""
+    import jax.numpy as jnp
+
+    from .synth.schedule import get_schedule
+
+    key = (float(np.float32(inc)), int(T), int(S))
+    hit = _split_sched_cache.get(key)
+    if hit is not None:
+        return hit
+    W = WARMUP
+    Ts = T // S
+    Text = Ts + W
+    s = get_schedule(inc)
+    phi_f, cell_f = s.window(-W, T + W)      # index j <-> sample j - W + 1
+    pre = (jnp.asarray(phi_f[W:, None]), jnp.asarray(cell_f[W:, None]))
+    seg = (jnp.asarray(np.stack([phi_f[k * Ts: k * Ts + Text]
+                                 for k in range(S)], axis=1)),
+           jnp.asarray(np.stack([cell_f[k * Ts: k * Ts + Text]
+                                 for k in range(S)], axis=1)))
+    shift = jnp.asarray(
+        np.array([s.state_at(k * Ts - W)[1] for k in range(S)], np.int32))
+    out = (pre, seg, shift)
+    if len(_split_sched_cache) >= 16:
+        _split_sched_cache.clear()
+    _split_sched_cache[key] = out
+    return out
 
 
 def synthesize_score(score: Score, voice, seed: int = 0,
@@ -491,7 +564,10 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     lattice = build_lattice(seed, T, v.jitter_frequency)
     jparams = (jnp.float32(v.jitter_frequency), jnp.float32(v.jitter_delta_frequency),
                jnp.float32(v.jitter_delta_formant_frequency), jnp.float32(v.jitter_delta_amplitude))
-    out = _synth_jit(score, lattice, jparams, jnp.float32(sr), T,
+    from .synth.schedule import device_window
+
+    sched = device_window(v.jitter_frequency, 0, T)
+    out = _synth_jit(score, lattice, jparams, jnp.float32(sr), sched, T,
                      use_scan or backend == "scan")
     return np.asarray(out[:N], np.float32)
 
@@ -683,14 +759,23 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
                    jnp.float32(v0.jitter_delta_frequency),
                    jnp.float32(v0.jitter_delta_formant_frequency),
                    jnp.float32(v0.jitter_delta_amplitude))
+    from .synth.schedule import device_window
+
+    inc = v0.jitter_frequency
     if S > 1:
-        split_fn = (_synth_jit_split_fused if backend == "fused"
-                    else _synth_jit_split)
-        out = np.asarray(split_fn(batched, lattices, jparams,
-                                  jnp.float32(sr), T, S))
+        if backend == "fused":
+            pre, seg, shift = _split_sched(inc, T, S)
+            out = np.asarray(_synth_jit_split_fused(
+                batched, lattices, jparams, jnp.float32(sr),
+                pre, seg, shift, T, S))
+        else:
+            sched = device_window(inc, -WARMUP, T + WARMUP)
+            out = np.asarray(_synth_jit_split(batched, lattices, jparams,
+                                              jnp.float32(sr), sched, T, S))
     else:
+        sched = device_window(inc, 0, T)
         out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
-                                          jnp.float32(sr), T, backend))
+                                          jnp.float32(sr), sched, T, backend))
     return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]
 
 

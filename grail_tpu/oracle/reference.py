@@ -410,14 +410,14 @@ def oracle_jitter(elems, seed: int, voice: NpVoice):
 def oracle_jitter_exact(elems, seed: int, voice: NpVoice):
     """The reference Jitter stage with a DRIFT-FREE value-noise phase.
 
-    The reference accumulates `phase += increment` in f32 (wrapping via
-    `phase -= 1.0` on crossing), so lattice-cell boundaries drift by a few
-    samples over long streams. This twin places sample k (1-based) in cell
-    i = floor(k * inc) with fraction phi = k*inc - i — the closed-form
-    schedule of synth/jitter.py — while drawing lattice points through the
-    ORIGINAL generator state machines. Equality against apply_jitter pins
-    the fast path exactly: its only deviation from oracle_jitter is the
-    phase-accumulator drift.
+    HISTORICAL twin: places sample k (1-based) in cell i = floor(k * inc)
+    with fraction phi = k*inc - i — the closed-form schedule production
+    used through round 3 — while drawing lattice points through the
+    ORIGINAL generator state machines. Production now consumes the exact
+    f32 phase recurrence (synth/schedule.py) and is pinned against
+    oracle_jitter directly (tests/test_stages.py); this twin remains as
+    the reference point for the drift the closed form accumulates
+    (-47 dB at 86.5 s, VERDICT r3).
     """
     rng = _Rng(seed)
     gens = (_ValueNoise(rng), _ArrayValueNoise(rng), _ArrayValueNoise(rng))

@@ -172,10 +172,16 @@ def synthesize_block_sp(elems: SynthesisElem, mesh: Mesh,
 
 
 def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
-                     T: int, mesh: Mesh):
+                     T: int, mesh: Mesh, sched=None):
     """Full dp x sp pipeline: batched Score (replicated over 'seq', sharded
     over 'data') -> audio [B, T]. Expansion/jitter run shard-locally with
-    sample offsets (no comm); the DSP core uses the distributed scans."""
+    sample offsets (no comm); the DSP core uses the distributed scans.
+
+    `sched` = (phi [T], cell [T]) exact jitter schedule for samples 1..T
+    (synth/schedule.py); it shards over 'seq' alongside the other
+    per-sample arrays, so each chip receives exactly its window. Built
+    here when None (requires concrete jparams, i.e. not under an outer
+    jit)."""
     from ..synth.jitter import apply_jitter
     from ..synth.sequencer import expand_score
 
@@ -183,14 +189,19 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     assert T % ns == 0
     T_local = T // ns
     jf, jdf, jdff, jda = jparams
+    if sched is None:
+        from ..synth.schedule import device_window
 
-    def local_expand(score, lattice):
+        sched = device_window(jf, 0, T)
+
+    def local_expand(score, lattice, phi, cell):
         i = jax.lax.axis_index("seq")
         off = i * T_local
 
         def one(s, l):
             elems, valid = expand_score(s, sample_rate, T_local, offset=off)
-            return apply_jitter(elems, l, jf, jdf, jdff, jda, offset=off), valid
+            return apply_jitter(elems, l, jdf, jdff, jda,
+                                (phi, cell)), valid
 
         elems, valid = jax.vmap(one)(score, lattice)          # [B_l, T_l, ...]
         elems_tm = SynthesisElem(*(jnp.moveaxis(x, 0, 1) for x in elems))
@@ -200,12 +211,13 @@ def sharded_pipeline(score_batch, lattice_batch, jparams, sample_rate,
     lat_spec = jax.tree.map(lambda _: P("data"), lattice_batch)
 
     expand_fn = shard_map(local_expand, mesh=mesh,
-                          in_specs=(score_spec, lat_spec),
+                          in_specs=(score_spec, lat_spec, P("seq"), P("seq")),
                           out_specs=(SynthesisElem(P("seq", "data"),
                                                    *[P("seq", "data", None)] * 6),
                                      P("seq", "data")),
                           check_vma=False)
-    elems_tm, valid = expand_fn(score_batch, lattice_batch)
+    elems_tm, valid = expand_fn(score_batch, lattice_batch,
+                                jnp.asarray(sched[0]), jnp.asarray(sched[1]))
     out, _ = synthesize_block_sp(elems_tm, mesh)
     return (out * valid).T                                    # [B, T]
 
@@ -241,29 +253,30 @@ def sharded_stream_tick_fn(mesh: Mesh, block: int, interpret: bool = False,
 
     d = P("data")
 
-    def body(scores, lattices, jparams, sample_rate, offsets, joffsets,
-             states):
-        out, st, off2, joff2 = _stream_tick_fused_body(
-            scores, lattices, jparams, sample_rate, offsets, joffsets,
-            states, block, interpret, lat_window=lat_window)
+    def body(scores, lattices, jparams, sample_rate, offsets, jstate,
+             lat_base, states):
+        out, st, off2, jstate2 = _stream_tick_fused_body(
+            scores, lattices, jparams, sample_rate, offsets, jstate,
+            lat_base, states, block, interpret, lat_window=lat_window)
         if out_fmt == "pcm16":
             out = _pcm16_body(out)
         elif out_fmt == "ulaw":
             out = _ulaw_body(out)
-        return out, st, off2, joff2
+        return out, st, off2, jstate2
 
     def specs_like(tree, spec):
         return jax.tree.map(lambda _: spec, tree)
 
-    def make(scores, lattices, jparams, sample_rate, offsets, joffsets,
-             states):
+    def make(scores, lattices, jparams, sample_rate, offsets, jstate,
+             lat_base, states):
         in_specs = (specs_like(scores, d), specs_like(lattices, d),
-                    (P(), d, d, d), P(), d, d, specs_like(states, d))
-        out_specs = (d, specs_like(states, d), d, d)
+                    (P(), d, d, d), P(), d, (d, d), d,
+                    specs_like(states, d))
+        out_specs = (d, specs_like(states, d), d, (d, d))
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return fn(scores, lattices, jparams, sample_rate, offsets,
-                  joffsets, states)
+                  jstate, lat_base, states)
 
     return jax.jit(make)
 

@@ -203,37 +203,71 @@ def _scatter_bucket(n: int) -> int:
     return 1 << max(0, n - 1).bit_length()
 
 
+def _jsched_scan(jphi, jcell, inc, block: int):
+    """The reference jitter phase recurrence, carried on device: `block`
+    steps of `phase = f32(phase + inc); if phase > 1: phase -= 1` from the
+    per-session state (jphi f32 [...], jcell i32 [...] ABSOLUTE cell =
+    cumulative wrap count). IEEE f32 adds, so this is bit-identical to the
+    host schedule (synth/schedule.py) and the fused kernel's in-kernel
+    recurrence. Returns (phi [block, ...], cell [block, ...], final state).
+    """
+    inc = jnp.float32(inc)
+    one = jnp.float32(1.0)
+
+    def step(c, _):
+        p, cl = c
+        p = p + inc
+        w = p > one
+        p = jnp.where(w, p - one, p)
+        cl = cl + w.astype(jnp.int32)
+        return (p, cl), (p, cl)
+
+    (pf, cf), (phis, cells) = jax.lax.scan(
+        step, (jnp.asarray(jphi, jnp.float32), jnp.asarray(jcell, jnp.int32)),
+        None, length=block)
+    return phis, cells, (pf, cf)
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _stream_block(score: Score, lattice: JitterLattice, jparams, sample_rate,
-                  offset, jitter_offset, state: SynthState, block: int):
+                  offset, jstate, lat_base, state: SynthState, block: int):
+    """One solo-session block. `jstate` = (jphi, jcell) carried jitter phase
+    state (scalars); `lat_base` = absolute cell index of the session's
+    lattice window row 0 (changes only on window slides)."""
     from ..synth.jitter import apply_jitter
 
     jf, jdf, jdff, jda = jparams
+    phi, cell, jstate2 = _jsched_scan(jstate[0], jstate[1], jf, block)
     elems, valid = expand_score(score, sample_rate, block, offset=offset)
-    elems = apply_jitter(elems, lattice, jf, jdf, jdff, jda, offset=jitter_offset)
+    elems = apply_jitter(elems, lattice, jdf, jdff, jda,
+                         (phi, cell - lat_base))
     out, state = synthesize_block(elems, state, block_size=block)
-    return out, state
+    return out, state, jstate2
 
 
 @functools.partial(jax.jit, static_argnames=("block", "use_pallas"))
 def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
-                        sample_rate, offsets, jitter_offsets,
+                        sample_rate, offsets, jstate, lat_base,
                         states: SynthState, block: int, use_pallas: bool):
     """One tick for N concurrent sessions: scores [N, E], per-session sample
-    offsets, stacked states -> (audio [N, block], new states)."""
+    offsets, stacked states -> (audio [N, block], new states, new jstate).
+    `jstate` = (jphi [N], jcell [N] absolute); `lat_base` [N] i32 maps
+    absolute cells onto each session's lattice window rows."""
     from ..synth.jitter import apply_jitter
     from ..synth.synthesize import _block_core
 
     jf, jdf, jdff, jda = jparams  # jf scalar; deltas may be per-session [N]
+    phis, cells, jstate2 = _jsched_scan(jstate[0], jstate[1], jf, block)
 
-    def one(score, lattice, off, joff, jdf_, jdff_, jda_):
+    def one(score, lattice, off, phi, cell_rel, jdf_, jdff_, jda_):
         elems, valid = expand_score(score, sample_rate, block, offset=off)
-        return apply_jitter(elems, lattice, jf, jdf_, jdff_, jda_,
-                            offset=joff, mask=valid), valid
+        return apply_jitter(elems, lattice, jdf_, jdff_, jda_,
+                            (phi, cell_rel), mask=valid), valid
 
     da = 0 if jnp.ndim(jdf) > 0 else None
-    elems, valid = jax.vmap(one, in_axes=(0, 0, 0, 0, da, da, da))(
-        scores, lattices, offsets, jitter_offsets, jdf, jdff, jda)
+    elems, valid = jax.vmap(one, in_axes=(0, 0, 0, 1, 1, da, da, da))(
+        scores, lattices, offsets, phis, cells - lat_base[None, :],
+        jdf, jdff, jda)
     from ..synth.elem import SynthesisElem as _SE
 
     elems_tm = _SE(*(jnp.moveaxis(f, 0, 1) for f in elems))
@@ -243,23 +277,29 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
         out, states = synth_core_pallas(elems_tm, states)
     else:
         out, states = _block_core(elems_tm, states)
-    return jnp.moveaxis(out, 0, 1), states
+    return jnp.moveaxis(out, 0, 1), states, jstate2
 
 
 def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
-                            sample_rate, offsets, joffsets,
+                            sample_rate, offsets, jstate, lat_base,
                             states: SynthState,
                             block: int, interpret: bool = False,
                             lat_window=None):
     """One pool tick on the fully-fused kernel: per-session score offsets go
-    in as per-lane g0, absolute jitter positions as g0_jitter. N is
-    lane-padded (the kernel runs whole 128-lane tiles); padding lanes
-    replay session 0 and are sliced off.
+    in as per-lane g0; the jitter phase rides as CARRIED per-session state
+    (jphi f32 [N], jcell i32 [N] absolute cell) which the kernel steps with
+    the reference recurrence itself ('carry' mode) — the exact schedule
+    with zero per-tick upload. `lat_base` [N] i32 is the absolute cell of
+    each session's lattice-window row 0 (uploaded with the window; changes
+    only on the rare window slides). N is lane-padded (the kernel runs
+    whole 128-lane tiles); padding lanes replay session 0 and are sliced
+    off.
 
-    Returns (audio [N, block], new states, advanced offsets) — the offsets
-    round-trip through the device so steady-state ticks (no new text, no
-    rebase) dispatch with ZERO host->device transfers: on the axon platform
-    every per-tick transfer costs a ~30 ms tunnel round trip.
+    Returns (audio [N, block], new states, advanced offsets, new jstate) —
+    offsets and jstate round-trip through the device so steady-state ticks
+    (no new text, no rebase) dispatch with ZERO host->device transfers: on
+    the axon platform every per-tick transfer costs a ~30 ms tunnel round
+    trip.
 
     Un-jitted body: jit'd below as _stream_tick_fused, and wrapped
     per-shard by parallel.sharded.sharded_stream_tick_fn (multi-chip
@@ -284,21 +324,28 @@ def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
     per = jnp.ndim(jdf) > 0
     jp = (jf, padn(jdf) if per else jdf, padn(jdff) if per else jdff,
           padn(jda) if per else jda)
+    jphi, jcell = (jnp.asarray(jstate[0], jnp.float32),
+                   jnp.asarray(jstate[1], jnp.int32))
+    lat_base = jnp.asarray(lat_base, jnp.int32)
     tables = build_tables(jax.tree.map(padn, scores),
                           jax.tree.map(padn, lattices), jp, sample_rate,
-                          g0=padn(offsets), g0_jitter=padn(joffsets),
+                          g0=padn(offsets),
+                          lat_shift=jnp.maximum(padn(jcell - lat_base), 0),
+                          lat_base=padn(lat_base),
                           window=lat_window)
-    audio, new_states = synth_fused_pallas(
+    audio, new_states, jstate2 = synth_fused_pallas(
         tables, block, state=SynthState(*(padn(f) for f in states)),
+        jitter_state=(padn(jphi), padn(jcell)),
         interpret=interpret)
     return (audio.T[:N], SynthState(*(x[:N] for x in new_states)),
-            offsets + block, joffsets + block)
+            offsets + block, (jstate2[0][:N], jstate2[1][:N]))
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "out_fmt",
                                              "lat_window"))
 def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
-                       sample_rate, offsets, joffsets, states: SynthState,
+                       sample_rate, offsets, jstate, lat_base,
+                       states: SynthState,
                        block: int, interpret: bool = False,
                        out_fmt: str = "f32", lat_window=None):
     """out_fmt folds the output conversion (pcm16 / G.711 ulaw) INTO this
@@ -306,14 +353,14 @@ def _stream_tick_fused(scores: Score, lattices: JitterLattice, jparams,
     lat_window truncates the shifted jitter lattice to the rows one block
     can touch (the full-window gather is what made a tick cost ~29 ms on
     TPU — see build_tables)."""
-    out, states, off2, joff2 = _stream_tick_fused_body(
-        scores, lattices, jparams, sample_rate, offsets, joffsets, states,
-        block, interpret, lat_window=lat_window)
+    out, states, off2, jstate2 = _stream_tick_fused_body(
+        scores, lattices, jparams, sample_rate, offsets, jstate, lat_base,
+        states, block, interpret, lat_window=lat_window)
     if out_fmt == "pcm16":
         out = _pcm16_body(out)
     elif out_fmt == "ulaw":
         out = _ulaw_body(out)
-    return out, states, off2, joff2
+    return out, states, off2, jstate2
 
 
 def _pcm16_body(audio):
@@ -361,19 +408,19 @@ def ulaw_decode(code: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _scatter_rows(stack: Score, offsets, joffsets, jdeltas, rows: Score,
-                  off_new, joff_new, jd_new, idx):
+def _scatter_rows(stack: Score, offsets, jdeltas, rows: Score,
+                  off_new, jd_new, idx):
     """Scatter K changed sessions' score rows (+offset counters + per-
     session jitter deltas) into the device-resident [N, E] stack: the
     incremental-upload path of StreamPool._prepare_tick (K is bucketed so
     at most log2(N) shapes compile). Duplicate idx entries carry identical
     rows (idempotent). jdeltas ride along so a live [voice:] switch (which
     changes one session's deltas) stays on this path instead of forcing
-    the full [N, E] stack re-upload."""
+    the full [N, E] stack re-upload. (The carried jitter phase state never
+    scatters here: feeds and score rebases do not move the jitter clock.)"""
     upd = jax.tree.map(lambda o, r: o.at[idx].set(r), stack, rows)
     jd2 = tuple(o.at[idx].set(r) for o, r in zip(jdeltas, jd_new))
-    return (upd, offsets.at[idx].set(off_new),
-            joffsets.at[idx].set(joff_new), jd2)
+    return (upd, offsets.at[idx].set(off_new), jd2)
 
 
 @jax.jit
@@ -452,7 +499,14 @@ class StreamSession:
         self._horizon_tail = 0       # trailing auto-appended idle silence
         self._pool_ref = None        # (pool, index) when owned by a StreamPool
         self._consumed_samples = 0   # samples consumed within current score
-        self._jitter_pos = 0         # absolute sample counter (jitter phase)
+        self._jitter_pos = 0         # absolute sample counter (jitter phase;
+        #                              NEVER rebased — the exact schedule is
+        #                              absolute, host ints stay exact)
+        self._lat_base = 0           # absolute cell of lattice window row 0
+        #                              (window slides advance it)
+        self._jstate = None          # carried device (jphi, jcell) — lazily
+        #                              (re)built from _jitter_pos (solo use;
+        #                              pool-owned state lives in the pool)
         self._state = SynthState.init(())
         self._lattice = _IncrementalLattice(seed)
         self._pending_chars: List[str] = []
@@ -817,40 +871,54 @@ class StreamSession:
             self._drift_t0 = np.float32(resid[drop - 1])
             self._rev += 1
 
+    def _cell_bound(self, pos: int) -> int:
+        """Cheap upper bound on the exact absolute cell at sample `pos`:
+        floor(pos*inc) + 1 (phase-origin offset) + the accumulated f32
+        phase drift, measured at ~1.7e-9 cells/sample (schedule.py) and
+        over-covered by pos >> 28 (~3.7e-9/sample) + 1. Integer math only —
+        used by the PER-TICK sizing/slide triggers so they never run the
+        schedule simulation; the exact cell is computed only when a slide
+        actually fires."""
+        return int(pos * float(self.voice.jitter_frequency)) + 2 + (pos >> 28)
+
     def _jitter_cells(self, blk: int) -> int:
-        """Lattice rows needed for the next `blk` samples; normally the
-        fixed reserve (shape-stable), growing only if a caller reads more
-        than the horizon in one call."""
-        inc = float(self.voice.jitter_frequency)
-        need = int((self._jitter_pos + blk + 1) * inc) + 4
+        """Lattice rows (window-relative) needed for the next `blk` samples;
+        normally the fixed reserve (shape-stable), growing only if a caller
+        reads more than the horizon in one call."""
+        need = self._cell_bound(self._jitter_pos + blk + 1) - self._lat_base + 4
         if need > self._jitter_reserve:
             self._jitter_reserve = _bucket(need)
         return self._jitter_reserve
 
+    def _jitter_state_host(self):
+        """Exact (phase f32, absolute cell int) at self._jitter_pos, from
+        the shared checkpointed schedule (called on (re)build events —
+        slides, restores, pool scatters — never per tick)."""
+        from ..synth.schedule import get_schedule
+
+        return get_schedule(self.voice.jitter_frequency).state_at(
+            self._jitter_pos)
+
     def _maybe_rebase_jitter(self, blk: int) -> None:
-        """Slide the jitter window when the next read would outgrow the
-        reserved lattice: drop the K passed cells and subtract
-        D = round(K/inc) samples from the jitter origin. D*inc equals K to
-        within inc/2, so every remaining sample keeps (to f32 rounding and
-        that sub-cell epsilon) its lattice cell and fraction — the jitter
-        stream continues with sub-1e-3-cell phase error, far below the
-        fidelity gates, while sample positions stay small enough for
-        exact f32 arithmetic forever. Deterministic in (jitter_pos, inc,
-        seed), so a session rebases identically solo and pooled; the
-        seed-derived stagger spreads different sessions' slides across
-        ticks (see __init__)."""
-        inc = float(self.voice.jitter_frequency)
-        need = int((self._jitter_pos + blk + 1) * inc) + 4
+        """Slide the jitter LATTICE window when the next read would outgrow
+        the reserve: drop the K passed cells and advance _lat_base by K.
+        The jitter phase itself is untouched — it is the absolute carried
+        recurrence state (exact by construction); only the window of
+        lattice rows (and the lat_base coordinate that maps absolute cells
+        onto it) changes, riding the lattice upload cache. Deterministic in
+        (jitter_pos, inc, seed), so a session slides identically solo and
+        pooled; the seed-derived stagger spreads different sessions' slides
+        across ticks (see __init__)."""
+        need = self._cell_bound(self._jitter_pos + blk + 1) - self._lat_base + 4
         if need + self._jitter_stagger <= self._jitter_reserve:
             return
-        K = int(np.floor(self._jitter_pos * inc)) - 4
+        _, cell_abs = self._jitter_state_host()
+        K = cell_abs - self._lat_base - 4
         if K <= 0:
             return           # nothing to slide: _jitter_cells grows instead
-        D = int(round(K / inc))
         self._lattice.ensure(K + 1)   # never drop cells not yet generated
         self._lattice.drop(K)
-        self._jitter_pos -= D
-        self._rev += 1       # device joffsets/lattices must re-upload
+        self._lat_base += K  # lattice version bump re-uploads window + base
 
     # -- audio -------------------------------------------------------------
 
@@ -887,6 +955,15 @@ class StreamSession:
             pool, idx = self._pool_ref
             self._state = SynthState(*(x[idx] for x in pool._states))
 
+    def _jitter_state_dev(self):
+        """The carried device (jphi, jcell) for solo reads — built from the
+        host schedule on first use / after restores, then device-advanced
+        by every block (zero per-block schedule work)."""
+        if self._jstate is None:
+            phase, cell = self._jitter_state_host()
+            self._jstate = (jnp.float32(phase), jnp.int32(cell))
+        return self._jstate
+
     def _read_block(self) -> np.ndarray:
         self._materialize_state()
         blk = self.block
@@ -907,10 +984,10 @@ class StreamSession:
         jparams = (jnp.float32(inc), jnp.float32(self.voice.jitter_delta_frequency),
                    jnp.float32(self.voice.jitter_delta_formant_frequency),
                    jnp.float32(self.voice.jitter_delta_amplitude))
-        out, self._state = _stream_block(
+        out, self._state, self._jstate = _stream_block(
             score, lattice, jparams, jnp.float32(self.sample_rate),
-            jnp.int32(self._consumed_samples), jnp.int32(self._jitter_pos),
-            self._state, blk)
+            jnp.int32(self._consumed_samples), self._jitter_state_dev(),
+            jnp.int32(self._lat_base), self._state, blk)
         self._consumed_samples += blk
         self._jitter_pos += blk
         return np.asarray(out, np.float32)
@@ -930,7 +1007,8 @@ class StreamSession:
                           for e in self._elements], np.float64).reshape(-1, 4)
         return dict(
             elems=elems,
-            counters=np.array([self._consumed_samples, self._jitter_pos], np.int64),
+            counters=np.array([self._consumed_samples, self._jitter_pos,
+                               self._lat_base], np.int64),
             drift_t0=np.float32(self._drift_t0),
             phase=np.asarray(state.phase),
             lp=np.asarray(state.filter_state_a),
@@ -1016,6 +1094,9 @@ class StreamSession:
             else np.float32(0.0)
         self._consumed_samples = int(g("counters")[0])
         self._jitter_pos = int(g("counters")[1])
+        c = np.asarray(g("counters"))
+        self._lat_base = int(c[2]) if c.shape[0] > 2 else 0
+        self._jstate = None   # carried jitter state rebuilds from counters
         self._state = SynthState(
             phase=jnp.asarray(g("phase")),
             filter_state_a=jnp.asarray(g("lp")),
@@ -1079,6 +1160,12 @@ class StreamSession:
             pool._states = SynthState(*(
                 jnp.asarray(arr).at[idx].set(jnp.asarray(v))
                 for arr, v in zip(pool._states, self._state)))
+            # rebuild this session's carried jitter state from the restored
+            # counters (the exact schedule is deterministic in position)
+            phase, cell = self._jitter_state_host()
+            pool._jstates = (
+                pool._jstates[0].at[idx].set(jnp.float32(phase)),
+                pool._jstates[1].at[idx].set(jnp.int32(cell)))
             pool._cache_key = None
             pool._lat_key = None
 
@@ -1168,6 +1255,12 @@ class StreamPool:
         # per-session host pulls cost a fixed ~30 ms tunnel round trip EACH
         # on the axon platform (5 fields x N sessions = seconds per tick).
         self._states = SynthState.init((n,))
+        # carried jitter phase state (jphi f32 [N], jcell i32 [N] ABSOLUTE
+        # cell): advanced on device by every tick exactly like the DSP
+        # state; rebuilt from host counters only on restores. Sessions all
+        # start at jitter position 0 -> state (0.0, 0).
+        self._jstates = (jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.int32))
         # uploaded-input cache: in steady state (no new text, no rebase) a
         # tick re-dispatches with the SAME device-resident scores/lattices
         # and device-advanced offsets — zero host->device transfers
@@ -1175,6 +1268,9 @@ class StreamPool:
         self._dev = None
         self._lat_key = None         # separate lattice upload cache (feeds
         self._lat_dev = None         # must not re-upload the lattice window)
+        self._lat_base_dev = None    # [N] i32 absolute cell of window row 0
+        #                              (rides the lattice cache: must publish
+        #                              atomically with the window content)
         self._inflight = None        # depth-2 pipeline: the dispatched-but-
         #                              unfetched tick (see tick_pipelined)
         self._srj = jnp.float32(self.sample_rate)
@@ -1257,8 +1353,11 @@ class StreamPool:
                     np.stack([self.sessions[i]._lattice.amp[:cells]
                               for i in idx]),
                 )
-                self._lat_dev = _scatter_lat_rows(
-                    self._lat_dev, jax.device_put(rows), jnp.asarray(idx))
+                base_rows = jnp.asarray(
+                    [self.sessions[i]._lat_base for i in idx], jnp.int32)
+                self._lat_dev, self._lat_base_dev = _scatter_lat_rows(
+                    (self._lat_dev, self._lat_base_dev),
+                    (jax.device_put(rows), base_rows), jnp.asarray(idx))
             else:
                 for s in self.sessions:
                     s._lattice.ensure(cells)
@@ -1271,6 +1370,11 @@ class StreamPool:
                               for s in self.sessions]),
                 )
                 self._lat_dev = jax.device_put(lattices)
+                # lat_base rides the lattice cache: it maps absolute carried
+                # cells onto window rows, so it must change ATOMICALLY with
+                # the window content (slides publish both together)
+                self._lat_base_dev = jnp.asarray(
+                    [s._lat_base for s in self.sessions], jnp.int32)
             # versions may have been bumped by ensure() just above
             self._lat_key = (cells,
                              tuple(s._lattice.version for s in self.sessions))
@@ -1321,9 +1425,6 @@ class StreamPool:
                     off_new = np.asarray(
                         [self.sessions[i]._consumed_samples
                          for i in idx], np.int32)
-                    joff_new = np.asarray(
-                        [self.sessions[i]._jitter_pos for i in idx],
-                        np.int32)
                     # jnp, not raw np: a host numpy arg makes jax.jit
                     # compile a second entry for the same aval (measured),
                     # defeating the serve_start K-bucket warm
@@ -1334,17 +1435,17 @@ class StreamPool:
                                   "jitter_delta_formant_frequency",
                                   "jitter_delta_amplitude"))
                     d = self._dev
-                    scores2, off2, joff2, jd2 = _scatter_rows(
-                        d["scores"], d["offsets"], d["joffsets"],
+                    scores2, off2, jd2 = _scatter_rows(
+                        d["scores"], d["offsets"],
                         d["jparams"][1:], jax.device_put(rows_b),
-                        jnp.asarray(off_new), jnp.asarray(joff_new),
-                        jd_new, jnp.asarray(idx))
+                        jnp.asarray(off_new), jd_new, jnp.asarray(idx))
                     self._dev = dict(scores=scores2,
                                      jparams=(d["jparams"][0],) + jd2,
-                                     offsets=off2, joffsets=joff2,
+                                     offsets=off2,
                                      backend=d["backend"])
                     self._cache_key = key
                     self._dev["lattices"] = self._lat_dev
+                    self._dev["lat_base"] = self._lat_base_dev
                     return self._dev
 
             scores = [s._build_score(E) for s in self.sessions]
@@ -1364,8 +1465,6 @@ class StreamPool:
                                     for s in self.sessions], jnp.float32))
             offsets = jnp.asarray([s._consumed_samples
                                    for s in self.sessions], jnp.int32)
-            joffsets = jnp.asarray([s._jitter_pos for s in self.sessions],
-                                   jnp.int32)
 
             backend = self.backend
             if backend.startswith("fused"):
@@ -1383,9 +1482,10 @@ class StreamPool:
                     #                   is a non-path in practice
             self._dev = dict(scores=jax.device_put(scores_b),
                              jparams=jparams, offsets=offsets,
-                             joffsets=joffsets, backend=backend)
+                             backend=backend)
             self._cache_key = key
         self._dev["lattices"] = self._lat_dev
+        self._dev["lat_base"] = self._lat_base_dev
         return self._dev
 
     def read_block(self, sync: bool = True) -> np.ndarray:
@@ -1414,19 +1514,19 @@ class StreamPool:
         if backend.startswith("fused"):
             pcm_in_tick = self.output != "f32"
             tick = self._tick_program(blk, backend)
-            out, states, off2, joff2 = tick(
+            out, states, off2, jstate2 = tick(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
-                dev["offsets"], dev["joffsets"], self._states)
-            dev["offsets"], dev["joffsets"] = off2, joff2
+                dev["offsets"], self._jstates, dev["lat_base"], self._states)
+            dev["offsets"] = off2
         else:
-            out, states = _stream_block_batch(
+            out, states, jstate2 = _stream_block_batch(
                 dev["scores"], dev["lattices"], dev["jparams"], srj,
-                dev["offsets"], dev["joffsets"], self._states, blk,
-                use_pallas=False)
+                dev["offsets"], self._jstates, dev["lat_base"],
+                self._states, blk, use_pallas=False)
             dev["offsets"] = dev["offsets"] + blk
-            dev["joffsets"] = dev["joffsets"] + blk
 
         self._states = states
+        self._jstates = jstate2
         for s in self.sessions:
             # state slices are materialized lazily via s._materialize_state
             s._consumed_samples += blk
@@ -1555,12 +1655,13 @@ class StreamPool:
         if backend.startswith("fused"):
             self._tick_program(self.block, backend)(
                 swap["scores"], swap["lattices"], swap["jparams"],
-                self._srj, off, off, self._states)
+                self._srj, off, self._jstates, swap["lat_base"],
+                self._states)
         else:                               # xla fallback tick + output jit
-            out, _ = _stream_block_batch(
+            out, _, _ = _stream_block_batch(
                 swap["scores"], swap["lattices"], swap["jparams"],
-                self._srj, off, off, self._states, self.block,
-                use_pallas=False)
+                self._srj, off, self._jstates, swap["lat_base"],
+                self._states, self.block, use_pallas=False)
             if self.output == "pcm16":
                 _pcm16(out)
             elif self.output == "ulaw":
@@ -1587,11 +1688,10 @@ class StreamPool:
                 return False                # steady state: nothing changed
             swap = dict(
                 scores=dev["scores"], lattices=dev["lattices"],
+                lat_base=dev["lat_base"],
                 jparams=dev["jparams"], backend=dev["backend"],
                 off_host=np.asarray(
                     [s._consumed_samples for s in self.sessions], np.int32),
-                joff_host=np.asarray(
-                    [s._jitter_pos for s in self.sessions], np.int32),
                 snap_ticks=t_snap,
             )
         # a backend or input-shape change must compile on THIS thread
@@ -1651,11 +1751,12 @@ class StreamPool:
             idxK = jnp.zeros((K,), jnp.int32)
             jdK = tuple(jnp.repeat(x[:1], K, axis=0)
                         for x in swap["jparams"][1:])
-            _scatter_rows(swap["scores"], off, off, swap["jparams"][1:],
-                          rows, idxK, idxK, jdK, idxK)
+            _scatter_rows(swap["scores"], off, swap["jparams"][1:],
+                          rows, idxK, jdK, idxK)
             lrows = jax.tree.map(
                 lambda f: jnp.repeat(f[:1], K, axis=0), swap["lattices"])
-            _scatter_lat_rows(swap["lattices"], lrows, idxK)
+            _scatter_lat_rows((swap["lattices"], swap["lat_base"]),
+                              (lrows, jnp.zeros((K,), jnp.int32)), idxK)
         period = float(period) if period else self.block / self.sample_rate
         self._serve_period = period
 
@@ -1695,28 +1796,32 @@ class StreamPool:
                              * self.block)
             self._serve_dev = dict(
                 scores=swap["scores"], lattices=swap["lattices"],
+                lat_base=swap["lat_base"],
                 jparams=swap["jparams"], backend=swap["backend"],
-                offsets=jnp.asarray(swap["off_host"] + delta),
-                joffsets=jnp.asarray(swap["joff_host"] + delta))
+                offsets=jnp.asarray(swap["off_host"] + delta))
         dev = self._serve_dev
+        # the carried jitter state (self._jstates) never rides a swap: it
+        # advances only here (the RT thread is its single mutator while
+        # serving), and slides publish a new lat_base WITH the new window
+        # rows, so absolute cells stay consistent across adoptions
         if dev["backend"].startswith("fused"):
-            out, states, off2, joff2 = self._tick_program(
+            out, states, off2, jstate2 = self._tick_program(
                 self.block, dev["backend"])(
                 dev["scores"], dev["lattices"], dev["jparams"], self._srj,
-                dev["offsets"], dev["joffsets"], self._states)
-            dev["offsets"], dev["joffsets"] = off2, joff2
+                dev["offsets"], self._jstates, dev["lat_base"], self._states)
+            dev["offsets"] = off2
         else:                               # pathological-score fallback
-            out, states = _stream_block_batch(
+            out, states, jstate2 = _stream_block_batch(
                 dev["scores"], dev["lattices"], dev["jparams"], self._srj,
-                dev["offsets"], dev["joffsets"], self._states, self.block,
-                use_pallas=False)
+                dev["offsets"], self._jstates, dev["lat_base"],
+                self._states, self.block, use_pallas=False)
             dev["offsets"] = dev["offsets"] + self.block
-            dev["joffsets"] = dev["joffsets"] + self.block
             if self.output == "pcm16":
                 out = _pcm16(out)
             elif self.output == "ulaw":
                 out = _ulaw(out)
         self._states = states
+        self._jstates = jstate2
         self._serve_ticks += 1
         try:
             out.copy_to_host_async()
@@ -1810,6 +1915,12 @@ class StreamPool:
         self._states = SynthState(*(
             jnp.stack([jnp.asarray(f) for f in fields])
             for fields in zip(*(s._state for s in self.sessions))))
+        # carried jitter states rebuild from the restored counters (the
+        # exact schedule is deterministic in absolute position)
+        js = [s._jitter_state_host() for s in self.sessions]
+        self._jstates = (
+            jnp.asarray([p for p, _ in js], jnp.float32),
+            jnp.asarray([c for _, c in js], jnp.int32))
         self._cache_key = None
         self._lat_key = None
         self._inflight = None

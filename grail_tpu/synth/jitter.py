@@ -1,4 +1,5 @@
-"""Jitter: closed-form value-noise perturbation of the parameter stream.
+"""Jitter: value-noise perturbation of the parameter stream, driven by the
+EXACT reference phase schedule.
 
 Reference: Jitter iterator (/root/reference/src/lib.rs:723-805) with three
 value-noise generators (src/lib.rs:213-307) sharing one phase schedule:
@@ -10,11 +11,19 @@ value-noise generators (src/lib.rs:213-307) sharing one phase schedule:
     of the Lehmer stream (the three generators' streams overlap — that is
     reference behavior and we reproduce it).
 
-Because the increment is constant, the wrap schedule is deterministic:
-sample k (1-based step count) sits in lattice cell i = floor(k*inc) with
-fraction phi = k*inc - i. All lattice points are Lehmer draws at known
-offsets, so the whole jitter stream is a precomputed lattice + one gather +
-one lerp per sample — no sequential state.
+The phase recurrence is `phase = f32(phase + inc); if phase > 1: phase -= 1`
+per sample — every add rounds, so the per-sample fraction and the wrap
+schedule DRIFT from the closed form floor(k*inc) (round-3 attribution
+measured the closed-form substitute costs -47 dB at 86.5 s; VERDICT r3).
+Production therefore consumes the exact schedule from synth/schedule.py:
+per-sample `phi` (f32 post-wrap phase) and `cell` (i32 wrap count = lattice
+cell index) arrays, computed host-side at ~300 M samples/s and memoized as
+device arrays. The schedule depends only on the f32 rate, so one instance
+serves every lane, seed, and voice at that rate.
+
+All lattice points are Lehmer draws at known offsets, so the jitter stream
+stays a precomputed lattice + one select + one lerp per sample — no
+sequential state on device.
 
 Lattice layout (draw d_i = i-th Lehmer draw from the jitter seed):
   pitch    L[0]=d1, L[1]=d2,            L[i>=2]   = d_{i+1}
@@ -25,7 +34,7 @@ Lattice layout (draw d_i = i-th Lehmer draw from the jitter seed):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +70,6 @@ def build_lattice(seed: int, num_samples: int, jitter_frequency: float) -> Jitte
     pitch = np.empty(W + 2, np.float32)
     pitch[0], pitch[1] = dr(1), dr(2)
     pitch[2:] = d[2:W + 2]                     # rows m>=2: d_{m+1}
-
     formant = np.empty((W + 2, NUM_FORMANTS), np.float32)
     amp = np.empty((W + 2, NUM_FORMANTS), np.float32)
     formant[0] = d[2:18:2]                     # d_{3+2j}
@@ -74,41 +82,36 @@ def build_lattice(seed: int, num_samples: int, jitter_frequency: float) -> Jitte
     return JitterLattice(pitch, formant, amp)  # numpy leaves; jit ingests them
 
 
-def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
-                  offset=0):
+def sched_slice(sched, start, length: int):
+    """Slice a (phi, cell) schedule pair at a (possibly traced) start index.
+    `length` must be static. Used by the blockwise scan paths."""
+    phi, cell = sched
+    return (jax.lax.dynamic_slice(phi, (start,), (length,)),
+            jax.lax.dynamic_slice(cell, (start,), (length,)))
+
+
+def jitter_values(lattice: JitterLattice, phi, cell):
     """Per-sample noise values: (pitch [T], formant [T,8], amp [T,8]).
 
-    `offset` shifts the sample window for blockwise evaluation.
-
-    Envelope note: the cell schedule computes ph = f32(k) * inc with k the
-    ABSOLUTE 1-based sample index, so past 2^24 samples (~6.3 min at
-    44.1 kHz) f32(k) rounds to even and cell boundaries/fractions quantize
-    (±4-sample staircase at 2^25 — sub-gate noise-texture error, never a
-    discontinuity, and bit-consistent across the xla/fused/split paths,
-    which all use this same formula). Unbounded sessions avoid it
-    entirely: StreamSession rebases the jitter origin before positions
-    grow that large (stream.py:_maybe_rebase_jitter)."""
-    T = int(num_samples)
-    inc = jnp.float32(jitter_frequency)
-    offset = jnp.asarray(offset, jnp.int32)
-    k = (jnp.arange(1, T + 1, dtype=jnp.int32) + offset).astype(jnp.float32)
-    ph = k * inc
-    i = jnp.floor(ph).astype(jnp.int32)
-    phi = (ph - i.astype(jnp.float32))[:, None]  # [T,1]
+    `phi` (f32 [T]) and `cell` (i32 [T], absolute lattice cell = wrap
+    count) come from the exact phase schedule (synth/schedule.py) — the
+    reference's own f32 recurrence, so sample values match the oracle
+    generators bit-for-bit. Cells clip at the lattice edge (tail samples
+    past the utterance read the last cell, masked downstream)."""
+    T = phi.shape[0]
     nlat = lattice.pitch.shape[0]
-    i = jnp.minimum(i, nlat - 2)
+    i = jnp.minimum(jnp.asarray(cell, jnp.int32), nlat - 2)
+    phi2 = jnp.asarray(phi, jnp.float32)[:, None]              # [T,1]
 
-    # a T-sample window spans at most ceil(T*inc)+1 lattice cells; slice that
-    # window and select with an exact one-hot matmul (TPU gathers are slow).
-    # inc is traced, so the window size uses the static bound MAX_JITTER_INC
-    # (validated at voice-compile time).
-    K = int(np.ceil(T * MAX_JITTER_INC)) + 2   # cells in window (+next)
+    # a T-sample window spans at most ceil(T*inc)+1 lattice cells (+1 more
+    # of schedule drift); slice that window and select with an exact
+    # one-hot matmul (TPU gathers are slow). The window size uses the
+    # static bound MAX_JITTER_INC (validated at voice-compile time).
+    K = int(np.ceil(T * MAX_JITTER_INC)) + 3   # cells in window (+next)
     Kw = min(K + 1, nlat)
-    # lower clamp: for negative offsets (overlap-save pre-roll) the raw
-    # floor goes negative; dynamic_slice would clamp the slice start to 0
-    # while rel still subtracted the unclamped i0, misaligning every cell
-    i0 = jnp.clip(jnp.floor((offset + 1).astype(jnp.float32) * inc)
-                  .astype(jnp.int32), 0, nlat - Kw)
+    # window base = the first sample's cell (nondecreasing, so it covers
+    # the whole block); clamp so the slice stays in range
+    i0 = jnp.clip(i[0], 0, nlat - Kw)
     rel = jnp.clip(i - i0, 0, Kw - 2)
     onehot = jax.nn.one_hot(rel, Kw, dtype=jnp.float32)          # [T, Kw]
     onehot_n = jax.nn.one_hot(rel + 1, Kw, dtype=jnp.float32)
@@ -126,7 +129,7 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
     def lerp(win):
         cur = jnp.matmul(onehot, win, precision=HI)
         nxt = jnp.matmul(onehot_n, win, precision=HI)
-        return cur * (1.0 - phi) + nxt * phi
+        return cur * (1.0 - phi2) + nxt * phi2
 
     pitch = lerp(pw[:, None])[:, 0]
     formant = lerp(fw)
@@ -134,18 +137,21 @@ def jitter_values(lattice: JitterLattice, num_samples: int, jitter_frequency,
     return pitch, formant, amp
 
 
-def apply_jitter(elems: SynthesisElem, lattice: JitterLattice, jitter_frequency,
+def apply_jitter(elems: SynthesisElem, lattice: JitterLattice,
                  delta_frequency, delta_formant_freq, delta_amplitude,
-                 offset=0, mask=None) -> SynthesisElem:
+                 sched: Tuple, mask=None) -> SynthesisElem:
     """Apply the reference jitter update (src/lib.rs:753-777) to a [T, ...]
     per-sample parameter stream.
+
+    `sched` = (phi [T], cell [T]) from the exact phase schedule for this
+    block's absolute sample positions (synth/schedule.py).
 
     `mask` [T] (optional) disables jitter on invalid samples (stream pre-roll
     and tail) — required by the overlap-save split path, which needs the
     pre-roll carrier frequency to stay at the exact silent-frame constant.
     """
-    T = elems.frequency.shape[0]
-    pitch, formant, amp_n = jitter_values(lattice, T, jitter_frequency, offset)
+    phi, cell = sched
+    pitch, formant, amp_n = jitter_values(lattice, phi, cell)
     if mask is not None:
         m = mask.astype(jnp.float32)
         pitch = pitch * m
@@ -165,4 +171,5 @@ def apply_jitter(elems: SynthesisElem, lattice: JitterLattice, jitter_frequency,
     )
 
 
-__all__ = ["JitterLattice", "build_lattice", "jitter_values", "apply_jitter"]
+__all__ = ["JitterLattice", "build_lattice", "jitter_values", "apply_jitter",
+           "sched_slice"]

@@ -59,6 +59,7 @@ every compilable voice).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -146,14 +147,15 @@ class FusedTables(NamedTuple):
 
 
 def build_tables(score: Score, lattice, jparams, sample_rate,
-                 g0=None, g0_jitter=None, window=None) -> FusedTables:
+                 g0=None, g0_jitter=None, window=None,
+                 lat_shift=None, lat_base=None) -> FusedTables:
     """Score [B, E] + JitterLattice [B, W(,8)] -> kernel-layout tables.
 
     Pure cheap [E]/[W]-sized ops; safe to trace inside jit.
 
     `window` (static int) truncates the per-lane SHIFTED lattice to its
     first `window` rows — the streaming-tick fast path. After the
-    floor(g0j*inc) pre-shift, a T-sample program only ever reads rows
+    lattice-cell pre-shift, a T-sample program only ever reads rows
     [0, ceil(T*inc) + nlat); a pool tick (T = one block) therefore needs a
     handful of rows out of a multi-second session window, and gathering
     all W rows per tick is what turns an ~1 ms tick into a ~29 ms one on
@@ -161,6 +163,18 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     Callers must size `window` >= the program's true row span
     (_n_lat_rows-style margin included); rows clip at the window reserve
     edge exactly as the unwindowed gather does.
+
+    `lat_shift` ([B] i32, optional): the EXACT lattice cell index — RELATIVE
+    to the passed lattice window's row 0 — at each lane's jitter start
+    (schedule.state_at(g0j), or carried_cell - lat_base in serving). The
+    kernels index lattice rows by exact absolute cell, so this must be
+    cell-exact; the legacy floor(f32(g0j)*inc) fallback (used when None)
+    drifts past 2^24 samples and under accumulated f32 phase drift.
+
+    `lat_base` ([B] i32, optional, default 0): the ABSOLUTE cell index of
+    the lattice window's row 0 (serving sessions hold a sliding window).
+    The kernel's cell values are absolute, so its row lookup subtracts
+    lat_base + lat_shift and its edge clamp sits at lat_base + reserve.
     """
     sr = jnp.float32(sample_rate)
     jf, jdf, jdff, jda = jparams
@@ -187,26 +201,32 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     g0j = g0 if g0_jitter is None else jnp.broadcast_to(
         jnp.asarray(g0_jitter, jnp.int32), (B,))
 
-    # Pre-shift the jitter lattices by each lane's jitter offset so the
+    # Pre-shift the jitter lattices by each lane's starting cell so the
     # kernel's window of needed rows becomes computable from the grid
-    # position alone (floor((g0j+t)*inc) - floor(g0j*inc) is within +-1 of
-    # floor(t*inc) for exact reals, +-1 more for f32 rounding).
+    # position alone (cell(g0j+t) - cell(g0j) is within +-2 of
+    # floor(t*inc): phase-origin offset + accumulated f32 drift).
     # shifted[w, lane] = orig[w + shift_lane, lane].
     inc_f = jnp.float32(jf)
-    shift = jnp.floor(g0j.astype(jnp.float32) * inc_f).astype(jnp.int32)
+    if lat_shift is not None:
+        shift = jnp.broadcast_to(jnp.asarray(lat_shift, jnp.int32), (B,))
+    else:
+        shift = jnp.floor(g0j.astype(jnp.float32) * inc_f).astype(jnp.int32)
 
     latp = t2(lattice.pitch)                                   # [W, B]
     latf = t3(lattice.formant)                                 # [W, 8, B]
     lata = t3(lattice.amp)
     W = latp.shape[0]
     Wp = max(W, _MIN_LAT_ROWS)
-    # Row 3 carries the LOGICAL (pre-truncation) lattice reserve: the
-    # kernel's absolute cell clamp must reference the session reserve edge,
-    # not the truncated tick window's row count — clamping at the window
-    # edge would saturate i_cl once floor(g0j*inc) exceeds `window`, driving
-    # the relative row index negative and silently zeroing all jitter.
-    aux = jnp.concatenate([g0[None], shift[None], g0j[None],
-                           jnp.full((1, B), Wp, jnp.int32),
+    # Row 1 is the ABSOLUTE cell of the shifted lattice's row 0
+    # (lat_base + shift); row 3 the ABSOLUTE logical (pre-truncation)
+    # reserve edge: the kernel's cell clamp must reference the session
+    # reserve edge, not the truncated tick window's row count — clamping at
+    # the window edge would saturate i_cl once the shift exceeds `window`,
+    # driving the relative row index negative and silently zeroing jitter.
+    base_abs = (jnp.zeros(B, jnp.int32) if lat_base is None
+                else jnp.broadcast_to(jnp.asarray(lat_base, jnp.int32), (B,)))
+    aux = jnp.concatenate([g0[None], (base_abs + shift)[None], g0j[None],
+                           (base_abs + Wp)[None],
                            jnp.zeros((4, B), jnp.int32)], axis=0)
     if Wp > W:                                # tiny utterances: edge-pad rows
         latp = jnp.concatenate(
@@ -340,11 +360,25 @@ def _seq_chunk_core(n_ref, scal_ref, E: int, k1, dt):
                 valid=valid, fr_e=fr_e)
 
 
-def _fused_kernel(n_ref, scal_ref, vec_ref,
+def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
                   latp_ref, latf_ref, lata_ref, par_ref, aux_ref, leh_ref,
-                  inc_ref, sf_in, si_in,
-                  audio_ref, sf_out, si_out,
-                  s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22):
+                  inc_ref, sf_in, si_in, *rest):
+    """mode='host': per-sample (phi, cell) schedule arrives as two extra
+    input refs [chunk, {1|lane}] (batch/split paths — the schedule is
+    host-precomputed and memoized). mode='carry': the kernel re-runs the
+    reference f32 phase recurrence itself from a carried per-lane state in
+    si rows 2 (phi bits) / 3 (cell) — the serving tick, whose steady state
+    must dispatch with zero host->device transfers. Both produce
+    BIT-IDENTICAL streams (IEEE f32 adds from identical state)."""
+    if mode == "host":
+        phi_ref, cell_ref = rest[0], rest[1]
+        audio_ref, sf_out, si_out = rest[2:5]
+        (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[5:12]
+        s_jphi = s_jcell = None
+    else:
+        audio_ref, sf_out, si_out = rest[0:3]
+        (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[3:10]
+        s_jphi, s_jcell = rest[10], rest[11]
     E = n_ref.shape[0]
     W = latp_ref.shape[0]
     chunk, lane = audio_ref.shape
@@ -385,10 +419,12 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     e0, e1, e2 = jax.lax.fori_loop(0, E, vec_body, (zv,) * 3)
 
     # ---- B': lattice rows — scalar-indexed window (no loop over W).
-    # The lattices are pre-shifted per lane by floor(g0*inc) (build_tables),
-    # so every lane's needed rows sit in a window whose base follows from
-    # the grid position alone: floor((g0+t)*inc) - floor(g0*inc) is within
-    # +-1 of floor(t*inc) (exact reals), +-1 more for f32 rounding.
+    # The lattices are pre-shifted per lane by the lane's exact starting
+    # cell (build_tables lat_shift), so every lane's needed rows sit in a
+    # window whose base follows from the grid position alone:
+    # cell(g0j+t) - cell(g0j) is within +-1 of floor(t*inc) (phase-origin
+    # offset) +-1 more for intra-call accumulated drift; base's -2 cushion
+    # plus _n_lat_rows' margin cover it.
     inc_s = inc_ref[0, 0]
     nlat = _n_lat_rows(chunk)
     t01f = (tt * chunk + 1).astype(jnp.float32)
@@ -446,17 +482,43 @@ def _fused_kernel(n_ref, scal_ref, vec_ref,
     am_e = mixv(5, w0a3, w1a3, w2a3)
 
     # jitter (value-noise lerp; masked like apply_jitter(mask=valid)).
-    # Row selection: shifted[i_cl - lat_shift] == orig[i_cl]. Per lane the
+    # Row selection: shifted[cell - lat_shift] == orig[cell]. Per lane the
     # chunk spans at most 2 lattice cells (chunk*inc < 1), so first collapse
     # the nlat-row window to 3 per-lane rows (cheap [8,lane] masked sums),
-    # then a 2-way per-sample select. The jitter phase uses its own offset
-    # (streaming rebases the score; the jitter stream is absolute).
-    g0j = aux_ref[2][None, :]
+    # then a 2-way per-sample select. phi/cell are the EXACT reference f32
+    # phase recurrence (synth/schedule.py): host arrays in 'host' mode, the
+    # in-kernel recurrence from carried state in 'carry' mode.
     w_log = aux_ref[3][None, :]         # logical lattice reserve (pre-window)
-    k1jf = (kk + (tt * chunk + 1) + g0j).astype(jnp.float32)
-    ph = k1jf * inc_s
-    phi = ph - jnp.floor(ph)
-    i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, w_log - 2)
+    if mode == "host":
+        phi = phi_ref[...]
+        cellv = cell_ref[...]
+        if phi.shape[1] != lane:        # schedule shared by every lane
+            phi = jnp.broadcast_to(phi, (chunk, lane))
+            cellv = jnp.broadcast_to(cellv, (chunk, lane))
+    else:
+        # reference recurrence: phase = f32(phase+inc); if >1: -=1 (exact).
+        # Sequential chunk-length loop of [1, lane] vector ops (~128 steps,
+        # dependency-bound; negligible vs a serving tick's budget).
+        jp0 = jax.lax.bitcast_convert_type(si_out[2:3], jnp.float32)
+        jc0 = si_out[3:4]
+        one_j = jnp.float32(1.0)
+
+        def jstep(i, carry):
+            p, c = carry
+            p = p + inc_s
+            wz = p > one_j
+            p = jnp.where(wz, p - one_j, p)
+            c = c + wz.astype(jnp.int32)
+            s_jphi[i, :] = p[0]
+            s_jcell[i, :] = c[0]
+            return (p, c)
+
+        jpf, jcf = jax.lax.fori_loop(0, chunk, jstep, (jp0, jc0))
+        si_out[2:3] = jax.lax.bitcast_convert_type(jpf, jnp.int32)
+        si_out[3:4] = jcf
+        phi = s_jphi[...]
+        cellv = s_jcell[...]
+    i_cl = jnp.clip(cellv, 0, w_log - 2)
     ia = i_cl[0:1]                                            # [1, lane]
     irel = ia - lat_shift - base                              # in [0, nlat-3]
     locp = [z1, z1, z1]
@@ -585,18 +647,32 @@ def _lehmer_chunk_tables(chunk: int, lane: int):
 def synth_fused_pallas(tables: FusedTables, T: int,
                        state: Optional[SynthState] = None,
                        phase_q32: Optional[jnp.ndarray] = None,
+                       sched=None, jitter_state=None,
                        interpret: bool = False,
                        chunk: int = CHUNK_F, lane: int = LANE_F,
-                       ) -> Tuple[jnp.ndarray, SynthState]:
-    """Run the fused kernel: tables -> (audio [T, B], final SynthState).
+                       ):
+    """Run the fused kernel: tables ->
+    (audio [T, B], final SynthState, final jitter state | None).
 
     `phase_q32` (optional int32 [B], wrapping-uint32 bits) supplies the
     initial carrier phase in exact Q32 fixed point (the overlap-save split
     path needs bit-exact segment-boundary phases, below f32 resolution).
+
+    Exactly one of:
+    `sched` — (phi [T, S], cell [T, S]) with S in {1, B}: the exact jitter
+    phase schedule as kernel inputs (host-precomputed, memoized; S=1 when
+    every lane shares jitter position, S=B for per-lane windows).
+    `jitter_state` — (jphi [B] f32, jcell [B] i32): carried per-lane jitter
+    phase state; the kernel steps the reference recurrence itself (serving
+    ticks — zero per-tick schedule upload) and the final state is returned
+    as the third result (None in sched mode).
     """
     B = tables.n.shape[1]
     if state is None:
         state = SynthState.init((B,))
+    if (sched is None) == (jitter_state is None):
+        raise ValueError("pass exactly one of sched= or jitter_state=")
+    mode = "host" if sched is not None else "carry"
     if interpret:
         lane = B
         chunk = min(chunk, T)
@@ -616,11 +692,17 @@ def synth_fused_pallas(tables: FusedTables, T: int,
              ).astype(jnp.uint32), jnp.int32)
     seed_i32 = jax.lax.bitcast_convert_type(
         state.seed.astype(jnp.uint32), jnp.int32)
+    if mode == "carry":
+        jphi, jcell = jitter_state
+        jrows = [jax.lax.bitcast_convert_type(
+            jnp.asarray(jphi, jnp.float32), jnp.int32).reshape(1, B),
+            jnp.asarray(jcell, jnp.int32).reshape(1, B),
+            jnp.zeros((4, B), jnp.int32)]
+    else:
+        jrows = [jnp.zeros((6, B), jnp.int32)]
     si = jnp.concatenate([
         jnp.asarray(phase_q32, jnp.int32).reshape(1, B),
-        seed_i32.reshape(1, B),
-        jnp.zeros((6, B), jnp.int32),
-    ], axis=0)
+        seed_i32.reshape(1, B)] + jrows, axis=0)
     leh = jnp.asarray(_lehmer_chunk_tables(chunk, lane))
 
     e2 = lambda: pl.BlockSpec((E, lane), lambda bt, tt: (0, bt),
@@ -651,12 +733,36 @@ def synth_fused_pallas(tables: FusedTables, T: int,
         dimension_semantics=("arbitrary", "arbitrary"))
     scratch = [pltpu.VMEM((chunk, F, lane), jnp.float32) for _ in range(7)]
 
+    in_specs = [e2(), escal, evec,
+                w2(), w3(), w3(), r8(), r8(), lehspec, incspec,
+                sfspec(), r8()]
+    inputs = [tables.n, tables.scal, tables.vec,
+              tables.latp, tables.latf, tables.lata, tables.par, tables.aux,
+              leh, tables.inc, sf, si]
+    if mode == "host":
+        phi_s, cell_s = sched
+        Ss = phi_s.shape[1]
+        assert phi_s.shape == (T, Ss) and cell_s.shape == (T, Ss), \
+            (phi_s.shape, cell_s.shape, T)
+        assert Ss in (1, B), (Ss, B)
+        if Ss == 1:
+            sspec = lambda: pl.BlockSpec((chunk, 1), lambda bt, tt: (tt, 0),
+                                         memory_space=pltpu.VMEM)
+        else:
+            sspec = lambda: pl.BlockSpec((chunk, lane),
+                                         lambda bt, tt: (tt, bt),
+                                         memory_space=pltpu.VMEM)
+        in_specs += [sspec(), sspec()]
+        inputs += [jnp.asarray(phi_s, jnp.float32),
+                   jnp.asarray(cell_s, jnp.int32)]
+    else:
+        scratch = scratch + [pltpu.VMEM((chunk, lane), jnp.float32),
+                             pltpu.VMEM((chunk, lane), jnp.int32)]
+
     audio, sf_o, si_o = pl.pallas_call(
-        _fused_kernel,
+        functools.partial(_fused_kernel, mode),
         grid=(nbt, nt),
-        in_specs=[e2(), escal, evec,
-                  w2(), w3(), w3(), r8(), r8(), lehspec, incspec,
-                  sfspec(), r8()],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((chunk, lane), lambda bt, tt: (tt, bt),
                          memory_space=pltpu.VMEM),
@@ -666,9 +772,7 @@ def synth_fused_pallas(tables: FusedTables, T: int,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=compiler_params,
-    )(tables.n, tables.scal, tables.vec,
-      tables.latp, tables.latf, tables.lata, tables.par, tables.aux, leh,
-      tables.inc, sf, si)
+    )(*inputs)
 
     new_state = SynthState(
         phase=si_o[0].astype(jnp.uint32).astype(jnp.float32)
@@ -678,23 +782,33 @@ def synth_fused_pallas(tables: FusedTables, T: int,
         filter_state_c=sf_o[2 * F:3 * F].T,
         seed=si_o[1].astype(jnp.uint32),
     )
-    return audio, new_state
+    jstate_out = None
+    if mode == "carry":
+        jstate_out = (jax.lax.bitcast_convert_type(si_o[2], jnp.float32),
+                      si_o[3])
+    return audio, new_state, jstate_out
 
 
 CHUNK_PRE = 1024   # pre-pass chunk (bigger: no 8-wide arrays, no recurrence)
 
 
 def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
-                        T: int, blk: int, interpret: bool = False
-                        ) -> jnp.ndarray:
+                        T: int, blk: int, sched=None,
+                        interpret: bool = False) -> jnp.ndarray:
     """[nb, B] uint32 (nb = T//blk): Q32 carrier-phase accumulator BEFORE
     each blk-sized block — the exact integral of the frequency stream the
     fused kernel synthesizes (its phases A-C restricted to frequency).
+
+    `sched` = (phi [T, 1], cell [T, 1]) exact jitter schedule for absolute
+    samples 1..T (the pre-pass always runs the unsplit stream, so every
+    lane shares it) — REQUIRED; the frequency stream must stay
+    bit-identical to the fused kernel's, which consumes the same schedule.
 
     Runs as a small Pallas kernel: the XLA formulations (one-hot matmuls or
     unrolled elementwise selects) cost 33 ms / 70 ms per 64x8s batch on MXU
     passes / unfused VPU passes; in-kernel everything stays in VMEM.
     """
+    assert sched is not None, "pass the exact jitter schedule"
     B = score.length.shape[0]
     sr = jnp.float32(sample_rate)
     chunk = CHUNK_PRE
@@ -740,7 +854,8 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
     W = latp_t.shape[0]
     nlat = _n_lat_rows(chunk)
 
-    def kern(n_ref, scal_ref, latp_ref, par_ref, inc_ref, sums_ref):
+    def kern(n_ref, scal_ref, latp_ref, par_ref, inc_ref,
+             phi_ref, cell_ref, sums_ref):
         tt = pl.program_id(1)
         kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane), 0)
         k1 = kk + (tt * chunk + 1)
@@ -750,7 +865,6 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
         core = _seq_chunk_core(n_ref, scal_ref, E, k1, par_ref[2][None, :])
         f = core["fr_e"]
         valid = core["valid"]
-        k1f = core["k1f"]
 
         # lattice rows: scalar-indexed window from the grid position (the
         # pre-pass always runs from sample 1, so no per-lane shift)
@@ -760,9 +874,10 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
                         0, W - nlat)
         prow = [latp_ref[base + r][None, :] for r in range(nlat)]
 
-        ph = k1f * inc_s
-        phi = ph - jnp.floor(ph)
-        i_cl = jnp.clip(jnp.floor(ph).astype(jnp.int32), 0, W - 2)
+        # exact schedule (shared by every lane: sched width 1)
+        phi = jnp.broadcast_to(phi_ref[...], (chunk, lane))
+        i_cl = jnp.clip(jnp.broadcast_to(cell_ref[...], (chunk, lane)),
+                        0, W - 2)
         r = i_cl - base                                # 0 .. nlat-2
         pc = jnp.zeros((chunk, lane), jnp.float32)
         pn = jnp.zeros((chunk, lane), jnp.float32)
@@ -790,17 +905,23 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
                            memory_space=pltpu.SMEM)
     escal = pl.BlockSpec((E, 8, lane), lambda bt, tt: (0, 0, bt),
                          memory_space=pltpu.VMEM)
+    sspec = lambda: pl.BlockSpec((chunk, 1), lambda bt, tt: (tt, 0),
+                                 memory_space=pltpu.VMEM)
+    phi_s, cell_s = sched
+    assert phi_s.shape == (T, 1) and cell_s.shape == (T, 1), \
+        (phi_s.shape, cell_s.shape, T)
     sums = pl.pallas_call(
         kern,
         grid=(nbt, nt),
-        in_specs=[e2(), escal, w2, r8, incspec],
+        in_specs=[e2(), escal, w2, r8, incspec, sspec(), sspec()],
         out_specs=pl.BlockSpec((1, 8, lane), lambda bt, tt: (tt, 0, bt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, 8, Bp), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(n_t.astype(jnp.int32), scal_t, latp_t, par, inc_arr)
+    )(n_t.astype(jnp.int32), scal_t, latp_t, par, inc_arr,
+      jnp.asarray(phi_s, jnp.float32), jnp.asarray(cell_s, jnp.int32))
 
     csum = jnp.cumsum(sums[:, 0, :B].astype(jnp.uint32), axis=0)  # [nt, B]
     excl = jnp.concatenate([jnp.zeros((1, B), jnp.uint32), csum[:-1]], axis=0)

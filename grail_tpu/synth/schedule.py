@@ -171,7 +171,12 @@ _DEVICE_CACHE_MAX = 64
 
 
 def device_window(inc, start: int, length: int):
-    """(phi, cell) jnp arrays for samples start+1 .. start+length, memoized."""
+    """(phi, cell) jnp arrays for samples start+1 .. start+length, memoized.
+
+    Safe to call under an outer jit trace (e.g. sharded_pipeline with
+    sched=None): traced constants are returned but never cached — caching a
+    tracer would leak it into later untraced calls."""
+    import jax
     import jax.numpy as jnp
 
     key = (float(np.float32(inc)), int(start), int(length))
@@ -181,6 +186,8 @@ def device_window(inc, start: int, length: int):
         return hit
     phi, cell = get_schedule(inc).window(start, length)
     out = (jnp.asarray(phi), jnp.asarray(cell))
+    if isinstance(out[0], jax.core.Tracer) or isinstance(out[1], jax.core.Tracer):
+        return out
     with _device_lock:
         if len(_device_cache) >= _DEVICE_CACHE_MAX:
             _device_cache.clear()

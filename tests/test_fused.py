@@ -40,10 +40,25 @@ def _setup(texts, S=1, seeds=None):
     return stack_scores(scores), lattices, jp, jnp.float32(sr), T, Ns
 
 
+def _sched1(jp, T, start=0):
+    """Exact schedule as flat [T] arrays (XLA-path shape)."""
+    from grail_tpu.synth.schedule import device_window
+
+    return device_window(float(jp[0]), start, T)
+
+
+def _sched2(jp, T, start=0):
+    """Exact schedule as shared-lane [T, 1] kernel inputs."""
+    phi, cell = _sched1(jp, T, start)
+    return phi[:, None], cell[:, None]
+
+
 def test_fused_matches_xla_batch():
     batched, lattices, jp, sr, T, Ns = _setup(["ae", "ea", "aa", "ee"])
-    ref = np.asarray(_synth_jit_batch(batched, lattices, jp, sr, T, "xla"))
-    out = np.asarray(_synth_jit_batch(batched, lattices, jp, sr, T,
+    sched = _sched1(jp, T)
+    ref = np.asarray(_synth_jit_batch(batched, lattices, jp, sr, sched,
+                                      T, "xla"))
+    out = np.asarray(_synth_jit_batch(batched, lattices, jp, sr, sched, T,
                                       "fused_interpret"))
     assert out.shape == ref.shape
     for b in range(len(Ns)):
@@ -52,10 +67,15 @@ def test_fused_matches_xla_batch():
 
 
 def test_fused_split_matches_unsplit():
+    from grail_tpu.api import _split_sched
+
     batched, lattices, jp, sr, T, Ns = _setup(["aeae", "eaae"], S=4)
-    out = np.asarray(_synth_jit_split_fused(batched, lattices, jp, sr, T, 4,
+    pre, seg, shift = _split_sched(float(jp[0]), T, 4)
+    out = np.asarray(_synth_jit_split_fused(batched, lattices, jp, sr,
+                                            pre, seg, shift, T, 4,
                                             interpret=True))
-    ref = np.asarray(_synth_jit_batch(batched, lattices, jp, sr, T, "xla"))
+    ref = np.asarray(_synth_jit_batch(batched, lattices, jp, sr,
+                                      _sched1(jp, T), T, "xla"))
     for b in range(len(Ns)):
         assert sample_error_db(out[b, :Ns[b]], ref[b, :Ns[b]]) < -60
     # no seam artifacts anywhere (segment joins at T/4 boundaries)
@@ -64,16 +84,24 @@ def test_fused_split_matches_unsplit():
 
 def test_fused_state_continuation():
     # two chained half-length calls == one full-length call (streaming use)
+    from grail_tpu.synth.schedule import get_schedule
+
     batched, lattices, jp, sr, T, Ns = _setup(["aeaeae", "eaeaea"])
     tables = build_tables(batched, lattices, jp, sr)
-    full, _ = synth_fused_pallas(tables, T, interpret=True)
+    full, _, _ = synth_fused_pallas(tables, T, sched=_sched2(jp, T),
+                                    interpret=True)
 
     B = 2
     half = T // 2
-    a1, st = synth_fused_pallas(tables, half, interpret=True)
+    a1, st, _ = synth_fused_pallas(tables, half, sched=_sched2(jp, half),
+                                   interpret=True)
+    cell_half = get_schedule(float(jp[0])).state_at(half)[1]
     tables2 = build_tables(batched, lattices, jp, sr,
-                           g0=jnp.full((B,), half, jnp.int32))
-    a2, _ = synth_fused_pallas(tables2, half, state=st, interpret=True)
+                           g0=jnp.full((B,), half, jnp.int32),
+                           lat_shift=jnp.full((B,), cell_half, jnp.int32))
+    a2, _, _ = synth_fused_pallas(tables2, half, state=st,
+                                  sched=_sched2(jp, half, start=half),
+                                  interpret=True)
     out = np.concatenate([np.asarray(a1), np.asarray(a2)], axis=0)
     # f32 phase handoff quantizes at 2^-25 cycles; everything else is exact
     np.testing.assert_allclose(out, np.asarray(full), atol=2e-5)
@@ -227,8 +255,12 @@ def test_fused_boundary_selection_past_2p24_samples():
     batched = stack_scores([long_score])
     lat_b = JitterLattice(*(f[None] for f in lat))
     tables = build_tables(batched, lat_b, jp, jnp.float32(sr),
-                          g0=jnp.asarray([g0], jnp.int32))
-    out, _ = synth_fused_pallas(tables, T, interpret=True)
+                          g0=jnp.asarray([g0], jnp.int32),
+                          lat_shift=jnp.zeros(1, jnp.int32))
+    # zero deltas: any valid schedule works (zero contribution); zeros keep
+    # the lattice reads on the zero rows
+    zsched = (jnp.zeros((T, 1), jnp.float32), jnp.zeros((T, 1), jnp.int32))
+    out, _, _ = synth_fused_pallas(tables, T, sched=zsched, interpret=True)
     out = np.asarray(out)[:, 0]
     # the correct (int32) compare leaves only the documented few-ulp SVF
     # re-association; the f32 compare fails this by ~full scale

@@ -67,10 +67,13 @@ def test_fused_matches_xla_on_chunk_edge_boundaries(seed):
         voice.jitter_frequency, voice.jitter_delta_frequency,
         voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
 
+    from grail_tpu.synth.schedule import device_window
+
+    sched = device_window(voice.jitter_frequency, 0, T)
     ref = np.asarray(_synth_jit_batch(batched, lattices, jp, jnp.float32(SR),
-                                      T, "xla"))
+                                      sched, T, "xla"))
     out = np.asarray(_synth_jit_batch(batched, lattices, jp, jnp.float32(SR),
-                                      T, "fused_interpret"))
+                                      sched, T, "fused_interpret"))
     for b in range(B):
         assert sample_error_db(out[b, :Ns[b]], ref[b, :Ns[b]]) < -60, b
     assert np.abs(out - ref).max() < 5e-4

@@ -82,7 +82,11 @@ def test_full_sharded_pipeline_matches_single():
     mesh = make_mesh(2, 4)
     out_sp = jax.jit(lambda s, l: sharded_pipeline(
         s, l, jp, jnp.float32(sr), T, mesh))(batched, lattices)
-    out_ref = _synth_jit_batch(batched, lattices, jp, jnp.float32(sr), T, "xla")
+    from grail_tpu.synth.schedule import device_window
+
+    out_ref = _synth_jit_batch(batched, lattices, jp, jnp.float32(sr),
+                               device_window(voice.jitter_frequency, 0, T),
+                               T, "xla")
     assert sample_error_db(np.asarray(out_sp), np.asarray(out_ref)) < -100
 
 

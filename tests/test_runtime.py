@@ -485,11 +485,12 @@ def test_pool_checkpoint_restore_bit_exact():
 
 
 def test_jitter_window_rebase_long_session():
-    """The sliding jitter-lattice window: a session whose jitter origin is
-    rebased several times (tiny horizon) must match a never-rebased
-    session to < -60 dB, with the lattice bucket (and so the jit shapes
-    and device memory) bounded — long-running serving never recompiles or
-    grows (VERDICT r2 #1 precondition)."""
+    """The sliding jitter-lattice window: a session whose lattice window
+    slides several times (tiny horizon) must BIT-MATCH a never-sliding
+    session — the carried jitter phase is absolute and untouched by
+    slides, so the window is purely a memory/shape optimization — with the
+    lattice bucket (and so the jit shapes and device memory) bounded:
+    long-running serving never recompiles or grows (VERDICT r2 #1)."""
     def run(horizon):
         s = StreamSession(voice="plain", language="english", block=1024,
                           jitter_horizon_s=horizon)
@@ -500,32 +501,30 @@ def test_jitter_window_rebase_long_session():
 
     a, sa = run(1.5)      # forces repeated window slides
     b, sb = run(1000.0)   # never slides
-    assert sa._jitter_pos < sb._jitter_pos   # rebases actually happened
-    assert sa._jitter_reserve <= 64          # bucket stayed put
+    assert sa._lat_base > 0 and sb._lat_base == 0   # slides actually happened
+    assert sa._jitter_pos == sb._jitter_pos         # the clock never rebases
+    assert sa._jitter_reserve <= 64                 # bucket stayed put
     assert np.isfinite(a).all()
-    from grail_tpu.utils import sample_error_db
-    assert sample_error_db(a, b) < -60
+    np.testing.assert_array_equal(a, b)
 
 
 def test_jitter_rebase_staggered_across_seeds():
     """Sessions with distinct seeds must NOT slide their jitter window on
-    the same tick (the rebase thundering-herd: N simultaneous _rev bumps
-    turn one incremental row upload into a full pool restack). The stagger
-    is seed-derived so each session still behaves identically solo or
-    pooled."""
+    the same tick (the slide thundering-herd: N simultaneous lattice
+    version bumps turn one incremental row upload into a full pool
+    restack). The stagger is seed-derived so each session still behaves
+    identically solo or pooled."""
     first_rebase = {}
     for seed in range(4):
         s = StreamSession(voice="generic", seed=seed, block=1024,
                           jitter_horizon_s=1.5)
         s.feed("aeae aeae ")
         s.flush()
-        prev = s._jitter_pos
         for t in range(120):
             s.read()
-            if s._jitter_pos < prev + 1024:   # origin slid this tick
+            if s._lat_base > 0:               # window slid this tick
                 first_rebase[seed] = t
                 break
-            prev = s._jitter_pos
         assert seed in first_rebase, "no rebase within 120 ticks"
     assert len(set(first_rebase.values())) >= 3, first_rebase
 
@@ -559,15 +558,19 @@ def test_windowed_tick_matches_full_lattice_at_large_offset():
           jnp.float32(s.voice.jitter_delta_amplitude))
     st = SynthState(*(jnp.asarray(x)[None] for x in s._state))
     off = jnp.zeros(1, jnp.int32)
-    joff = jnp.full(1, jpos, jnp.int32)
+    from grail_tpu.synth.schedule import get_schedule
+
+    phase, cell = get_schedule(inc).state_at(jpos)
+    jstate = (jnp.full(1, phase, jnp.float32), jnp.full(1, cell, jnp.int32))
+    lat_base = jnp.zeros(1, jnp.int32)
     win = _n_lat_rows(blk) + _n_lat_rows(128) + 2
 
     full, _, _, _ = _stream_tick_fused_body(
-        score, lat, jp, jnp.float32(44100.0), off, joff, st, blk,
-        interpret=True, lat_window=None)
+        score, lat, jp, jnp.float32(44100.0), off, jstate, lat_base, st,
+        blk, interpret=True, lat_window=None)
     windowed, _, _, _ = _stream_tick_fused_body(
-        score, lat, jp, jnp.float32(44100.0), off, joff, st, blk,
-        interpret=True, lat_window=win)
+        score, lat, jp, jnp.float32(44100.0), off, jstate, lat_base, st,
+        blk, interpret=True, lat_window=win)
     full = np.asarray(full)
     assert float(np.sqrt((full ** 2).mean())) > 1e-3   # real signal
     assert np.array_equal(full, np.asarray(windowed))
@@ -618,7 +621,7 @@ def test_pool_long_run_matches_solo_across_window_slides():
     pool.feed(1, "eaea ")
     pool.flush()
     pooled = np.concatenate([pool.read_block() for _ in range(ticks)], axis=1)
-    slides = [ticks * 1024 - s._jitter_pos for s in pool.sessions]
+    slides = [s._lat_base for s in pool.sessions]
     assert all(d > 0 for d in slides), slides          # every session slid
     assert len(set(slides)) == 2, slides               # ...on different ticks
 

@@ -45,10 +45,15 @@ def test_split_matches_unsplit():
     jp = tuple(jnp.float32(x) for x in (
         voice.jitter_frequency, voice.jitter_delta_frequency,
         voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
+    from grail_tpu.api import WARMUP
+    from grail_tpu.synth.schedule import device_window
+
+    sched_w = device_window(voice.jitter_frequency, -WARMUP, T + WARMUP)
+    sched = device_window(voice.jitter_frequency, 0, T)
     out_split = np.asarray(_synth_jit_split(batched, lattices, jp,
-                                            jnp.float32(sr), T, S))
+                                            jnp.float32(sr), sched_w, T, S))
     out_ref = np.asarray(_synth_jit_batch(batched, lattices, jp,
-                                          jnp.float32(sr), T, "xla"))
+                                          jnp.float32(sr), sched, T, "xla"))
     for b in range(B):
         assert sample_error_db(out_split[b, :Ns[b]], out_ref[b, :Ns[b]]) < -90
     # no seam artifacts: absolute error bounded everywhere

