@@ -151,21 +151,27 @@ def pool_deadline(args):
         # the RT loop itself serialized the feed's host-side score work
         # into the dispatch slot and showed up as periodic slipped ticks.
         feeds_done = [0]
+        feed_error = [None]
 
         def feeder_loop():
+            # a silent feeder death would freeze feeds and leave the run
+            # looking healthy; record the failure for the result record
             k = 0
-            while True:
-                target = t0 + k * period
-                dt = target - time.perf_counter()
-                if dt > 0:
-                    time.sleep(dt)
-                if k >= args.ticks:
-                    return
-                i = int(rng.integers(0, n))
-                pool.feed(i, texts[int(rng.integers(0, len(texts)))])
-                pool.flush(i)
-                feeds_done[0] += 1
-                k += feed_every
+            try:
+                while True:
+                    target = t0 + k * period
+                    dt = target - time.perf_counter()
+                    if dt > 0:
+                        time.sleep(dt)
+                    if k >= args.ticks:
+                        return
+                    i = int(rng.integers(0, n))
+                    pool.feed(i, texts[int(rng.integers(0, len(texts)))])
+                    pool.flush(i)
+                    feeds_done[0] += 1
+                    k += feed_every
+            except Exception as e:  # noqa: BLE001
+                feed_error[0] = f"{type(e).__name__}: {e}"
 
         feeder = threading.Thread(target=feeder_loop, daemon=True)
         feeder.start()
@@ -228,6 +234,7 @@ def pool_deadline(args):
             "architecture": "serve_mode_rt_dispatch_only",
             "sink_workers": args.sink_workers,
             "live_feeds": feeds_done[0],
+            "feed_error": feed_error[0],
             "deadline_misses": miss[2],
             "miss_rate": round(miss[2] / args.ticks, 5),
             "deadline_misses_depth3": miss[3],
