@@ -91,19 +91,13 @@ def text_to_score(text: str, voice="generic", language="generic",
 
 
 def _score_num_samples(score: Score, sample_rate: float) -> int:
-    """Replicates the device boundary math (f32 cumsum + floor) on host.
-    Single-utterance scores only ([E] leading dim).
-
-    Caveat: XLA may in principle reassociate its cumsum differently from
-    numpy's sequential one, which could flip floor() by one sample when the
-    f32 cumulative length lands within 1 ulp of a boundary. No divergence
-    has been observed on current backends (the on-TPU golden/fidelity
-    suites would catch an off-by-one as a gate failure); if one ever
-    appears, pass host-computed cumulative lengths into the device paths
-    instead of recomputing there."""
-    lengths = np.asarray(score.length, np.float32)
-    assert lengths.ndim == 1, "pass per-utterance scores, not a batch"
-    C = np.cumsum(lengths)
+    """Total sample count from the score's host-precomputed cumulative
+    end-times (Score.build) — the SAME array every device consumer reads
+    (sequencer._selection_prelude, kernel_fused.build_tables), so host
+    bookkeeping and device boundaries cannot disagree.
+    Single-utterance scores only ([E] leading dim)."""
+    C = np.asarray(score.cum_length, np.float32)
+    assert C.ndim == 1, "pass per-utterance scores, not a batch"
     return int(np.floor(np.float32(C[-1]) * np.float32(sample_rate)))
 
 
@@ -129,7 +123,7 @@ def _check_backend(backend: str) -> str:
 
 @functools.partial(jax.jit, static_argnames=("T", "use_scan"))
 def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
-               sched, T: int, use_scan: bool = False):
+               sched, car, T: int, use_scan: bool = False):
     """Fused blockwise pipeline for one utterance.
 
     The top-level scan iterates time blocks; each step expands the score,
@@ -138,6 +132,8 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
 
     `sched` = (phi [T], cell [T]) exact jitter phase schedule for absolute
     samples 1..T (synth/schedule.py).
+    `car` = exact f32 carrier phase track [T] (native pre-pass), or None
+    for the Q32 accumulator (synthesize.carrier_phase).
     """
     from .synth.jitter import sched_slice
     from .synth.synthesize import SynthState, _block_core
@@ -146,7 +142,7 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
     if use_scan:
         elems, valid = expand_score(score, sample_rate, T)
         elems = apply_jitter(elems, lattice, jdf, jdff, jda, sched)
-        out, _ = synthesize_scan(elems)
+        out, _ = synthesize_scan(elems, carrier=car)
         return out * valid
 
     nb = max(T // BLOCK_SIZE, 1)
@@ -157,7 +153,9 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
         elems, valid = expand_score(score, sample_rate, blk, offset=off)
         elems = apply_jitter(elems, lattice, jdf, jdff, jda,
                              sched_slice(sched, off, blk))
-        out, st = _block_core(elems, st)
+        car_b = (None if car is None
+                 else jax.lax.dynamic_slice(car, (off,), (blk,)))
+        out, st = _block_core(elems, st, carrier=car_b)
         return st, out * valid
 
     _, outs = jax.lax.scan(step, SynthState.init(()), jnp.arange(nb))
@@ -166,7 +164,7 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
 
 @functools.partial(jax.jit, static_argnames=("T", "backend"))
 def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rate,
-                     sched, T: int, backend: str = "xla"):
+                     sched, T: int, backend: str = "xla", car=None):
     """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T].
 
     backend: 'fused' (fully-fused TPU kernel: expansion + jitter + DSP in
@@ -192,6 +190,7 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
         phi, cell = sched
         audio, _, _ = synth_fused_pallas(
             tables, T, sched=(phi[:, None], cell[:, None]),
+            carrier=None if car is None else car[:, None],
             interpret=backend == "fused_interpret")
         return audio.T                                       # [B, T]
 
@@ -413,7 +412,7 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
 def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
                            sample_rate, sched_pre, sched_seg, lat_shift,
                            T: int, S: int,
-                           interpret: bool = False):
+                           interpret: bool = False, car_seg=None):
     """Overlap-save split on the fully-fused kernel: B utterances x S time
     segments run in B*S kernel lanes, one pallas_call for everything.
 
@@ -445,16 +444,21 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     (g0, seed0, scores_t, lattices_t, (jdf_t, jdff_t, jda_t), g0_lane,
      per_b) = _split_lane_setup(scores, lattices, jdf, jdff, jda, T, S, B)
 
-    # ---- pre-pass: Q32 phase at block boundaries (exact integral of the
-    # same frequency stream the fused kernel will synthesize)
-    q_at_block = phase_q32_pre_block(scores, lattices, jf, jdf,
-                                     sample_rate, T, blk, sched=sched_pre,
-                                     interpret=interpret)       # [nb, B]
+    if car_seg is None:
+        # ---- pre-pass: Q32 phase at block boundaries (exact integral of
+        # the same frequency stream the fused kernel will synthesize)
+        q_at_block = phase_q32_pre_block(scores, lattices, jf, jdf,
+                                         sample_rate, T, blk, sched=sched_pre,
+                                         interpret=interpret)   # [nb, B]
 
-    q_seg = q_at_block[jnp.maximum(g0, 0) // blk]             # [S, B] uint32
-    q_seg = jnp.where((jnp.arange(S) == 0)[:, None], jnp.uint32(0), q_seg)
-    phase_q32 = jax.lax.bitcast_convert_type(q_seg, jnp.int32)
-    phase_q32 = phase_q32.reshape(S * B)
+        q_seg = q_at_block[jnp.maximum(g0, 0) // blk]         # [S, B] uint32
+        q_seg = jnp.where((jnp.arange(S) == 0)[:, None], jnp.uint32(0), q_seg)
+        phase_q32 = jax.lax.bitcast_convert_type(q_seg, jnp.int32)
+        phase_q32 = phase_q32.reshape(S * B)
+    else:
+        # exact-carrier mode: segment phases come from the absolute track —
+        # the Q32 continuation pre-pass has nothing to continue
+        phase_q32 = jnp.zeros(S * B, jnp.int32)
 
     state0 = SynthState(
         phase=jnp.zeros((S * B,), jnp.float32),  # overridden by phase_q32
@@ -472,12 +476,103 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     # O(T), not O(T*B))
     phi_seg = jnp.repeat(jnp.asarray(sched_seg[0], jnp.float32), B, axis=1)
     cell_seg = jnp.repeat(jnp.asarray(sched_seg[1], jnp.int32), B, axis=1)
+    car_lanes = (None if car_seg is None
+                 else jnp.repeat(jnp.asarray(car_seg, jnp.float32), B, axis=1))
     full, _, _ = synth_fused_pallas(tables, Text, state=state0,
                                     phase_q32=phase_q32,
                                     sched=(phi_seg, cell_seg),
+                                    carrier=car_lanes,
                                     interpret=interpret)     # [Text, S*B]
     segs = full[W:].T.reshape(S, B, Ts)
     return jnp.moveaxis(segs, 0, 1).reshape(B, T)
+
+
+def _pad_track(track, T: int):
+    """Edge-pad a carrier track to T samples (None passes through). The
+    tail samples are invalid (valid mask zeroes their output), so their
+    phase value only needs to be finite."""
+    if track is None:
+        return None
+    t = np.asarray(track, np.float32)
+    assert len(t) <= T, (len(t), T)
+    if len(t) < T:
+        t = np.concatenate([t, np.full(T - len(t), t[-1] if len(t) else 0.0,
+                                       np.float32)])
+    return jnp.asarray(t)
+
+
+def _spec_for_voice(v):
+    """Best-effort VoiceSpec lookup for a compiled Voice (registry by name,
+    rate-retargeted like fidelity's golds). None when the voice isn't a
+    registered preset — exact-carrier then silently stays off."""
+    import dataclasses
+
+    try:
+        from .voices import get_spec
+        spec = get_spec(v.name)
+    except Exception:
+        return None
+    if float(spec.sample_rate) != float(v.sample_rate):
+        spec = dataclasses.replace(spec, sample_rate=float(v.sample_rate))
+    return spec
+
+
+_carrier_cache = {}
+
+
+def _carrier_track_for(pelems, v, seed: int) -> Optional[np.ndarray]:
+    """Host pre-pass: the reference's exact f32 carrier phase per sample
+    for this utterance (native frequency chain, ~15k x realtime), memoized.
+    None when the native library or the voice's spec is unavailable —
+    callers then stay on the Q32 carrier (sub-gate exact, -60.7 dB at
+    86.5 s; docs/PARITY.md)."""
+    from .oracle.native import native_carrier_phase_track
+
+    spec = _spec_for_voice(v)
+    if spec is None:
+        return None
+    import hashlib
+
+    key_parts = [f"{p.phoneme.value}:{p.length!r}:{p.blend_length!r}:"
+                 f"{p.frequency!r}" for p in pelems]
+    key_parts.append(f"{spec.name}:{spec.sample_rate}:{int(seed)}")
+    key = hashlib.sha256("|".join(key_parts).encode()).hexdigest()
+    hit = _carrier_cache.get(key)
+    if hit is not None:
+        return hit
+    track = native_carrier_phase_track(pelems, spec, jitter_seed=int(seed))
+    if track is None:
+        return None
+    if len(_carrier_cache) >= 32:
+        _carrier_cache.clear()
+    _carrier_cache[key] = track
+    return track
+
+
+def _split_carrier(track: np.ndarray, T: int, S: int):
+    """Per-SEGMENT exact-carrier windows [Text, S] for the overlap-save
+    split (segment s covers absolute samples s*Ts - W + 1 .. s*Ts + Ts).
+
+    Segment 0's pre-roll sits BEFORE the stream: the Q32 path synthesizes
+    it as virtual silence from phase 0, whose phases cycle exactly through
+    {0, .25, .5, .75} (f = 0.25 exactly; 4096 steps advance phase by
+    1024.0 == 0 mod 1) — reproduce that cycle so the pre-roll's lowpass
+    warmup stays bit-identical to the Q32 path's, and the first real
+    sample lands on track[0] (reference initial phase 0)."""
+    W = WARMUP
+    Ts = T // S
+    Text = Ts + W
+    t = np.asarray(track, np.float32)
+    if len(t) < T:
+        t = np.concatenate([t, np.full(T - len(t), t[-1] if len(t) else 0.0,
+                                       np.float32)])
+    # virtual pre-roll for segment 0: lane position p in 1..W maps to
+    # absolute sample p - W <= 0; phase(p) = ((p-1) mod 4) * 0.25 makes the
+    # last pre-roll update land phase 0 at absolute sample 1 (W % 4 == 0)
+    pre0 = (np.arange(W, dtype=np.int64) % 4).astype(np.float32) * 0.25
+    full = np.concatenate([pre0, t])            # index j <-> sample j-W+1
+    seg = np.stack([full[k * Ts: k * Ts + Text] for k in range(S)], axis=1)
+    return jnp.asarray(seg)
 
 
 _split_sched_cache = {}
@@ -498,6 +593,8 @@ def _split_sched(inc, T: int, S: int):
     hit = _split_sched_cache.get(key)
     if hit is not None:
         return hit
+    from .synth.kernel_fused import CHUNK_F, _n_lat_rows
+
     W = WARMUP
     Ts = T // S
     Text = Ts + W
@@ -508,8 +605,37 @@ def _split_sched(inc, T: int, S: int):
                                  for k in range(S)], axis=1)),
            jnp.asarray(np.stack([cell_f[k * Ts: k * Ts + Text]
                                  for k in range(S)], axis=1)))
-    shift = jnp.asarray(
-        np.array([s.state_at(k * Ts - W)[1] for k in range(S)], np.int32))
+    # Per-segment lattice pre-shift. The kernel's per-chunk lattice window
+    # base is GRID-derived — floor(f32(t01)*inc) - 2 over the LANE-local
+    # position t01 — while the exact cell track follows ABSOLUTE sample
+    # position. Segment 0's masked pre-roll freezes cells at 0 for W
+    # samples, so in its real region the two track apart by a constant
+    # ~W*inc rows: within the window cushion at 44.1 kHz (1.49 rows) but
+    # past it at 22.05 kHz (2.97 rows), which silently zeroed segment-0
+    # jitter (rate22050 fused regression, FIDELITY_r04). Row-selection
+    # algebra is shift-invariant (shifted[irel+base+r] == orig[cell+r] for
+    # ANY shift while irel stays in-window), so solve the shift
+    # EMPIRICALLY: min over real-region chunk starts of (cell - grid_base)
+    # pins min(irel) = 0, and the spread is asserted against the kernel's
+    # window size — loud failure instead of silent jitter dropout.
+    nlat = _n_lat_rows(CHUNK_F)
+    incf = np.float32(inc)
+    ntt = Text // CHUNK_F
+    t01 = (np.arange(ntt, dtype=np.int64) * CHUNK_F + 1).astype(np.float32)
+    gbase = np.maximum(np.floor(t01 * incf).astype(np.int64) - 2, 0)
+    shift_np = np.empty(S, np.int32)
+    for k in range(S):
+        col = cell_f[k * Ts: k * Ts + Text: CHUNK_F].astype(np.int64)[:ntt]
+        first = (W // CHUNK_F) if k == 0 else 0   # skip frozen pre-roll
+        d = np.maximum(col, 0)[first:] - gbase[first:]
+        lo, hi = int(d.min()), int(d.max())
+        if hi - lo > nlat - 3:
+            raise AssertionError(
+                f"split lattice window overflow: segment {k} irel spread "
+                f"{hi - lo} exceeds {nlat - 3} (inc={float(inc)}, T={T}, "
+                f"S={S})")
+        shift_np[k] = lo
+    shift = jnp.asarray(shift_np)
     out = (pre, seg, shift)
     if len(_split_sched_cache) >= 16:
         _split_sched_cache.clear()
@@ -521,7 +647,8 @@ def synthesize_score(score: Score, voice, seed: int = 0,
                      sample_rate: Optional[float] = None,
                      use_scan: bool = False,
                      pad_samples_to: Optional[int] = None,
-                     backend: Optional[str] = None) -> np.ndarray:
+                     backend: Optional[str] = None,
+                     carrier_track: Optional[np.ndarray] = None) -> np.ndarray:
     """Synthesize one prepared Score to a float32 waveform.
 
     backend None = auto: on TPU this routes through the production path —
@@ -536,6 +663,12 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     multiple (_synth_jit truncates non-multiples, silently losing samples).
     Pinning implies the XLA path (the fused split path buckets shapes on
     its own).
+
+    `carrier_track` (optional f32 [>=N]): the reference's exact per-sample
+    carrier phase (oracle.native.native_carrier_phase_track) — replaces
+    the Q32 accumulator on the xla/scan/fused paths. Text-level callers
+    (synthesize/synthesize_batch) compute it automatically for solo
+    utterances when the native library is built.
     """
     v = _resolve_voice(voice)
     sr = float(sample_rate or v.sample_rate)
@@ -545,7 +678,8 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     if backend not in ("xla", "scan"):
         if pad_samples_to is None and sr == float(v.sample_rate):
             return synthesize_scores([score], v, seeds=[seed],
-                                     backend=backend)[0]
+                                     backend=backend,
+                                     carrier_tracks=[carrier_track])[0]
         if explicit:
             # an explicitly requested kernel backend must not silently run
             # the XLA path — the caller would believe they measured/ran the
@@ -567,8 +701,9 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     from .synth.schedule import device_window
 
     sched = device_window(v.jitter_frequency, 0, T)
-    out = _synth_jit(score, lattice, jparams, jnp.float32(sr), sched, T,
-                     use_scan or backend == "scan")
+    car = _pad_track(carrier_track, T)
+    out = _synth_jit(score, lattice, jparams, jnp.float32(sr), sched, car,
+                     T, use_scan or backend == "scan")
     return np.asarray(out[:N], np.float32)
 
 
@@ -576,19 +711,37 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
                contour: bool = False, speaking_rate: float = 1.0,
                sample_rate: Optional[float] = None,
                use_scan: bool = False,
-               backend: Optional[str] = None) -> np.ndarray:
+               backend: Optional[str] = None,
+               exact_carrier: Optional[bool] = None) -> np.ndarray:
     """Text -> float32 waveform (the reference CLI chain, single utterance).
 
     A non-default sample_rate retargets the voice first (the reference's
     resampling capability, src/lib.rs:20-21 + SynthesisElem::resample).
     `backend` pins a specific compute path (see synthesize_score); None =
-    the production default for the platform."""
+    the production default for the platform.
+
+    `exact_carrier`: None (auto — on when the native pre-pass is built and
+    the voice is a registered preset) / True (require; error if the
+    pre-pass is unavailable) / False (Q32 fixed-point carrier). The exact
+    carrier reproduces the reference's f32 phase recurrence bit-for-bit,
+    removing its drift term (-60.7 dB alone at 86.5 s vs the Q32
+    accumulator's exact mod-1 sum; docs/PARITY.md)."""
     v = _resolve_voice(voice)
     if sample_rate and float(sample_rate) != float(v.sample_rate):
         v = v.resampled(float(sample_rate))
-    score = text_to_score(text, v, language, contour=contour, speaking_rate=speaking_rate)
+    pelems = text_to_phoneme_elems(text, v, language, contour=contour,
+                                   speaking_rate=speaking_rate)
+    score = score_from_phoneme_elems(pelems, v)
+    track = None
+    if exact_carrier is not False:
+        track = _carrier_track_for(pelems, v, seed)
+        if track is None and exact_carrier:
+            raise RuntimeError(
+                "exact_carrier=True but the native carrier pre-pass is "
+                "unavailable (build native/ with `make -C native`, and use "
+                "a registered voice preset)")
     return synthesize_score(score, v, seed=seed, use_scan=use_scan,
-                            backend=backend)
+                            backend=backend, carrier_track=track)
 
 
 def default_backend() -> str:
@@ -612,7 +765,8 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                      contour: bool = False, speaking_rate: float = 1.0,
                      sample_rate: Optional[float] = None,
                      use_scan: bool = False,
-                     backend: Optional[str] = None) -> List[np.ndarray]:
+                     backend: Optional[str] = None,
+                     exact_carrier: Optional[bool] = None) -> List[np.ndarray]:
     """Batched synthesis: one device program over [B] utterances.
 
     `voice` may be a single voice/name or a per-utterance sequence
@@ -665,22 +819,48 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     if backend is None:
         backend = "scan" if use_scan else default_backend()
 
-    scores_raw = [text_to_score(t, v, lng, contour=contour,
-                                speaking_rate=speaking_rate)
+    pelems_all = [text_to_phoneme_elems(t, v, lng, contour=contour,
+                                        speaking_rate=speaking_rate)
                   for t, v, lng in zip(texts, voices, languages_)]
-    return synthesize_scores(scores_raw, voices, seeds=seeds, backend=backend)
+    scores_raw = [score_from_phoneme_elems(p, v)
+                  for p, v in zip(pelems_all, voices)]
+    tracks = None
+    # exact carrier: solo only by default (a B-lane track pre-pass + upload
+    # is O(T*B) host work on the throughput path — synthesize_scores
+    # ignores tracks for B > 1 regardless)
+    if exact_carrier is not False and B == 1:
+        tracks = [_carrier_track_for(pelems_all[0], voices[0], seeds[0])]
+        if tracks[0] is None:
+            if exact_carrier:
+                raise RuntimeError(
+                    "exact_carrier=True but the native carrier pre-pass is "
+                    "unavailable (build native/ with `make -C native`, and "
+                    "use a registered voice preset)")
+            tracks = None
+    elif exact_carrier and B > 1:
+        raise ValueError("exact_carrier=True supports single-utterance "
+                         "batches only (B == 1)")
+    return synthesize_scores(scores_raw, voices, seeds=seeds, backend=backend,
+                             carrier_tracks=tracks)
 
 
 def synthesize_scores(scores: Sequence[Score], voice="generic",
                       seeds: Optional[Sequence[int]] = None,
-                      backend: Optional[str] = None) -> List[np.ndarray]:
+                      backend: Optional[str] = None,
+                      carrier_tracks: Optional[Sequence] = None) -> List[np.ndarray]:
     """Synthesize prepared per-utterance Scores in one batched device
     program (the score-level core under synthesize_batch; also the B=1
     production path for synthesize/synthesize_score on TPU).
 
     `voice` is a single voice/name or one per score (shared sample rate and
     jitter rate). Scores pad to a shared (E, T); outputs slice back to true
-    lengths."""
+    lengths.
+
+    `carrier_tracks` (optional, one per score, entries may be None): exact
+    f32 carrier phase tracks (oracle.native). Consumed on the fused paths
+    for B == 1 (the solo/CLI route — per-lane tracks for B > 1 would cost
+    O(T*B) host pre-pass + upload on the throughput path; those lanes keep
+    the Q32 carrier)."""
     scores_raw = list(scores)
     B = len(scores_raw)
     if B == 0:
@@ -715,10 +895,10 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
 
         from .synth.kernel_fused import fused_supported
 
-        # fused_supported reads only .length — avoid a second full
+        # fused_supported reads only .cum_length — avoid a second full
         # stack_scores of all 8 fields on the hot batch path
         lengths_only = SimpleNamespace(
-            length=np.stack([np.asarray(s.length) for s in scores]))
+            cum_length=np.stack([np.asarray(s.cum_length) for s in scores]))
         if not fused_supported(lengths_only, sr,
                                jitter_inc=float(v0.jitter_frequency)):
             backend = ("pallas_interpret" if backend.endswith("interpret")
@@ -762,20 +942,30 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     from .synth.schedule import device_window
 
     inc = v0.jitter_frequency
+    # exact-carrier track: solo (B == 1) fused routes only — see docstring
+    track = None
+    if (carrier_tracks is not None and B == 1
+            and backend.startswith("fused") and carrier_tracks[0] is not None):
+        track = np.asarray(carrier_tracks[0], np.float32)
     if S > 1:
         if backend == "fused":
             pre, seg, shift = _split_sched(inc, T, S)
+            car_seg = None if track is None else _split_carrier(track, T, S)
             out = np.asarray(_synth_jit_split_fused(
                 batched, lattices, jparams, jnp.float32(sr),
-                pre, seg, shift, T, S))
+                pre, seg, shift, T, S, car_seg=car_seg))
         else:
             sched = device_window(inc, -WARMUP, T + WARMUP)
             out = np.asarray(_synth_jit_split(batched, lattices, jparams,
                                               jnp.float32(sr), sched, T, S))
     else:
         sched = device_window(inc, 0, T)
+        car = None
+        if track is not None and backend.startswith("fused"):
+            car = _pad_track(track, T)
         out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
-                                          jnp.float32(sr), sched, T, backend))
+                                          jnp.float32(sr), sched, T, backend,
+                                          car=car))
     return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]
 
 

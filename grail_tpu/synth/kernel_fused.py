@@ -180,7 +180,7 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     jf, jdf, jdff, jda = jparams
     B = score.length.shape[0]
 
-    C = jnp.cumsum(jnp.asarray(score.length, jnp.float32), axis=-1)   # [B, E]
+    C = jnp.asarray(score.cum_length, jnp.float32)   # [B, E] host cumsum (Score.build)
     n = jnp.floor(C * sr).astype(jnp.int32)
 
     def t2(x):   # [B, E] -> [E, B]
@@ -365,15 +365,24 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
                   inc_ref, sf_in, si_in, *rest):
     """mode='host': per-sample (phi, cell) schedule arrives as two extra
     input refs [chunk, {1|lane}] (batch/split paths — the schedule is
-    host-precomputed and memoized). mode='carry': the kernel re-runs the
-    reference f32 phase recurrence itself from a carried per-lane state in
+    host-precomputed and memoized). mode='host_track': additionally a
+    per-sample carrier phase ref [chunk, {1|lane}] — the reference's exact
+    f32 phase recurrence (native pre-pass) — replaces the Q32 accumulator
+    (the exact-carrier solo path). mode='carry': the kernel re-runs the
+    reference f32 JITTER recurrence itself from a carried per-lane state in
     si rows 2 (phi bits) / 3 (cell) — the serving tick, whose steady state
-    must dispatch with zero host->device transfers. Both produce
-    BIT-IDENTICAL streams (IEEE f32 adds from identical state)."""
+    must dispatch with zero host->device transfers. All modes produce
+    BIT-IDENTICAL jitter streams (IEEE f32 adds from identical state)."""
+    car_ref = None
     if mode == "host":
         phi_ref, cell_ref = rest[0], rest[1]
         audio_ref, sf_out, si_out = rest[2:5]
         (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[5:12]
+        s_jphi = s_jcell = None
+    elif mode == "host_track":
+        phi_ref, cell_ref, car_ref = rest[0], rest[1], rest[2]
+        audio_ref, sf_out, si_out = rest[3:6]
+        (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[6:13]
         s_jphi = s_jcell = None
     else:
         audio_ref, sf_out, si_out = rest[0:3]
@@ -489,7 +498,7 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
     # phase recurrence (synth/schedule.py): host arrays in 'host' mode, the
     # in-kernel recurrence from carried state in 'carry' mode.
     w_log = aux_ref[3][None, :]         # logical lattice reserve (pre-window)
-    if mode == "host":
+    if mode in ("host", "host_track"):
         phi = phi_ref[...]
         cellv = cell_ref[...]
         if phi.shape[1] != lane:        # schedule shared by every lane
@@ -556,14 +565,23 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
     ff_j = ff_e + form_n * jdff_m
     am_j = am_e * (1.0 - (ampn + 1.0) * jda_m)
 
-    # carrier phase: Q32 fixed point (int32 wraparound == exact mod-1),
-    # bit-identical to the XLA core's carrier_phase (uint32 Q32 cumsum)
-    fq32 = _freq_to_q32(freq_j)
-    csum = _cumsum_i32(fq32)
-    p0 = si_out[0][None, :]
-    phase_q = p0 + (csum - fq32)
-    phase = _q32_to_f32(phase_q)
-    p_out = p0 + csum[chunk - 1:chunk]
+    if car_ref is not None:
+        # exact-carrier mode: the reference's f32 phase recurrence arrives
+        # as a host-precomputed per-sample track (native pre-pass); the Q32
+        # accumulator (and its si row) is bypassed entirely
+        phase = car_ref[...]
+        if phase.shape[1] != lane:
+            phase = jnp.broadcast_to(phase, (chunk, lane))
+        p_out = None
+    else:
+        # carrier phase: Q32 fixed point (int32 wraparound == exact mod-1),
+        # bit-identical to the XLA core's carrier_phase (uint32 Q32 cumsum)
+        fq32 = _freq_to_q32(freq_j)
+        csum = _cumsum_i32(fq32)
+        p0 = si_out[0][None, :]
+        phase_q = p0 + (csum - fq32)
+        phase = _q32_to_f32(phase_q)
+        p_out = p0 + csum[chunk - 1:chunk]
 
     # polyBLEP saw (reference src/lib.rs:503-517)
     t0 = phase / freq_j
@@ -611,7 +629,8 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
     s_m21[...] = m21
     s_m22[...] = 1.0 - 2.0 * a3c
 
-    si_out[0:1, :] = p_out
+    if p_out is not None:
+        si_out[0:1, :] = p_out
     si_out[1:2, :] = seed_out
 
     # ---- D: the irreducible sequential recurrence -------------------------
@@ -647,7 +666,7 @@ def _lehmer_chunk_tables(chunk: int, lane: int):
 def synth_fused_pallas(tables: FusedTables, T: int,
                        state: Optional[SynthState] = None,
                        phase_q32: Optional[jnp.ndarray] = None,
-                       sched=None, jitter_state=None,
+                       sched=None, jitter_state=None, carrier=None,
                        interpret: bool = False,
                        chunk: int = CHUNK_F, lane: int = LANE_F,
                        ):
@@ -666,13 +685,22 @@ def synth_fused_pallas(tables: FusedTables, T: int,
     phase state; the kernel steps the reference recurrence itself (serving
     ticks — zero per-tick schedule upload) and the final state is returned
     as the third result (None in sched mode).
+
+    `carrier` (optional, sched mode only) — f32 [T, S] with S in {1, B}:
+    the reference's exact f32 carrier phase recurrence per sample (native
+    pre-pass, oracle/native.py carrier track). Replaces the Q32 fixed-point
+    accumulator; the returned SynthState.phase is then meaningless (exact
+    callers slice the track for continuations instead).
     """
     B = tables.n.shape[1]
     if state is None:
         state = SynthState.init((B,))
     if (sched is None) == (jitter_state is None):
         raise ValueError("pass exactly one of sched= or jitter_state=")
-    mode = "host" if sched is not None else "carry"
+    if carrier is not None and sched is None:
+        raise ValueError("carrier= requires sched mode")
+    mode = ("host_track" if carrier is not None
+            else "host" if sched is not None else "carry")
     if interpret:
         lane = B
         chunk = min(chunk, T)
@@ -739,22 +767,28 @@ def synth_fused_pallas(tables: FusedTables, T: int,
     inputs = [tables.n, tables.scal, tables.vec,
               tables.latp, tables.latf, tables.lata, tables.par, tables.aux,
               leh, tables.inc, sf, si]
-    if mode == "host":
+    if mode in ("host", "host_track"):
+        def tspec(cols):
+            if cols == 1:
+                return pl.BlockSpec((chunk, 1), lambda bt, tt: (tt, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((chunk, lane), lambda bt, tt: (tt, bt),
+                                memory_space=pltpu.VMEM)
+
         phi_s, cell_s = sched
         Ss = phi_s.shape[1]
         assert phi_s.shape == (T, Ss) and cell_s.shape == (T, Ss), \
             (phi_s.shape, cell_s.shape, T)
         assert Ss in (1, B), (Ss, B)
-        if Ss == 1:
-            sspec = lambda: pl.BlockSpec((chunk, 1), lambda bt, tt: (tt, 0),
-                                         memory_space=pltpu.VMEM)
-        else:
-            sspec = lambda: pl.BlockSpec((chunk, lane),
-                                         lambda bt, tt: (tt, bt),
-                                         memory_space=pltpu.VMEM)
-        in_specs += [sspec(), sspec()]
+        in_specs += [tspec(Ss), tspec(Ss)]
         inputs += [jnp.asarray(phi_s, jnp.float32),
                    jnp.asarray(cell_s, jnp.int32)]
+        if mode == "host_track":
+            Sc = carrier.shape[1]
+            assert carrier.shape == (T, Sc) and Sc in (1, B), \
+                (carrier.shape, T, B)
+            in_specs += [tspec(Sc)]
+            inputs += [jnp.asarray(carrier, jnp.float32)]
     else:
         scratch = scratch + [pltpu.VMEM((chunk, lane), jnp.float32),
                              pltpu.VMEM((chunk, lane), jnp.int32)]
@@ -820,7 +854,7 @@ def phase_q32_pre_block(score: Score, lattice, jf, jdf, sample_rate,
     nbt = Bp // lane
 
     jdf_b = jnp.broadcast_to(jnp.asarray(jdf, jnp.float32), (B,))
-    C = jnp.cumsum(jnp.asarray(score.length, jnp.float32), axis=-1)  # [B, E]
+    C = jnp.asarray(score.cum_length, jnp.float32)   # [B, E] host cumsum (Score.build)
     n = jnp.floor(C * sr).astype(jnp.int32)
     dt = jnp.float32(1.0) / sr
 
@@ -954,8 +988,7 @@ def fused_supported(score_np, sample_rate: float, chunk: int = CHUNK_F,
     """
     if jitter_inc is not None and not float(jitter_inc) * chunk < 1.0:
         return False
-    lengths = np.asarray(score_np.length, np.float32)
-    C = np.cumsum(lengths, axis=-1)
+    C = np.asarray(score_np.cum_length, np.float32)
     n = np.floor(C * np.float32(sample_rate)).astype(np.int64)
     spans = np.diff(n, axis=-1, prepend=0)            # per-element samples
     nz = spans != 0

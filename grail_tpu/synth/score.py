@@ -31,6 +31,20 @@ class Score(NamedTuple):
     has_sound: jnp.ndarray    # [..., E] bool — False = silence/stop/undefined
     length: jnp.ndarray       # [..., E] seconds (0 = padding)
     blend_length: jnp.ndarray  # [..., E] seconds
+    # [..., E] f32 cumulative end-times: the SEQUENTIAL host f32 cumsum of
+    # `length`, computed ONCE at construction (Score.build). Every device
+    # consumer reads this instead of re-running jnp.cumsum, so the element
+    # boundary n_j = floor(cum_length_j * sr) comes from one source — XLA
+    # cannot reassociate it differently from the host bookkeeping.
+    cum_length: jnp.ndarray
+
+    @staticmethod
+    def build(elem, has_sound, length, blend_length) -> "Score":
+        """Construct a Score, deriving cum_length on the host. `length`
+        must be concrete (host array); all construction paths are."""
+        cum = np.cumsum(np.asarray(length, np.float32),
+                        axis=-1).astype(np.float32)
+        return Score(elem, has_sound, length, blend_length, cum)
 
     @property
     def num_elems(self):
@@ -330,7 +344,7 @@ def score_from_phoneme_elems(
 
     # padding rows come from pad_score — ONE implementation of the padding
     # convention (its docstring promises bit-identity with this builder)
-    return pad_score(Score(
+    return pad_score(Score.build(
         elem=gathered,
         has_sound=has_sound,
         length=length,
@@ -354,6 +368,11 @@ def pad_score(score: Score, pad_to: int) -> Score:
                              padq, padq, padq, padz, padz, padz)
     elem = SynthesisElem(*(np.concatenate([np.asarray(g), p], axis=0)
                            for g, p in zip(score.elem, pad_elem)))
+    cum = np.asarray(score.cum_length, np.float32)
+    # zero-length padding: cum + 0.0 == cum exactly, so the padded rows
+    # repeat the final end-time (E == 0: no end-time yet, pad with zeros)
+    tail = (np.full(k, cum[-1], np.float32) if E
+            else np.zeros(k, np.float32))
     return Score(
         elem=elem,
         has_sound=np.concatenate(
@@ -363,6 +382,7 @@ def pad_score(score: Score, pad_to: int) -> Score:
         blend_length=np.concatenate(
             [np.asarray(score.blend_length, np.float32),
              np.full(k, 1.0, np.float32)]),
+        cum_length=np.concatenate([cum, tail]),
     )
 
 
@@ -375,6 +395,7 @@ def stack_scores(scores: Sequence[Score]) -> Score:
         has_sound=np.stack([np.asarray(s.has_sound) for s in scores]),
         length=np.stack([np.asarray(s.length) for s in scores]),
         blend_length=np.stack([np.asarray(s.blend_length) for s in scores]),
+        cum_length=np.stack([np.asarray(s.cum_length) for s in scores]),
     )
 
 

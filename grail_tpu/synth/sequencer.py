@@ -56,7 +56,9 @@ def _selection_prelude(score: Score, sample_rate, num_samples: int, offset):
     sr = jnp.float32(sample_rate)
     dt = jnp.float32(1.0) / sr
 
-    C = jnp.cumsum(score.length.astype(jnp.float32))          # [E] end-times
+    # host-precomputed sequential f32 cumsum (Score.build) — one boundary
+    # source for device math and host bookkeeping alike
+    C = jnp.asarray(score.cum_length, jnp.float32)             # [E] end-times
     n = jnp.floor(C * sr).astype(jnp.int32)                   # [E] end samples
 
     k1 = jnp.arange(1, T + 1, dtype=jnp.int32) + jnp.asarray(offset, jnp.int32)

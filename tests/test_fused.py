@@ -110,7 +110,7 @@ def test_fused_state_continuation():
 def test_fused_supported_guard():
     score = text_to_score("ae")
     assert fused_supported(score, 44100.0)
-    tiny = Score(elem=score.elem, has_sound=score.has_sound,
+    tiny = Score.build(elem=score.elem, has_sound=score.has_sound,
                  length=np.asarray([0.001, 0.5], np.float32)[: score.num_elems]
                  if score.num_elems >= 2 else score.length,
                  blend_length=score.blend_length)
@@ -170,7 +170,8 @@ def test_fused_supported_zero_span_positions():
     from types import SimpleNamespace
 
     def ln(*ls):
-        return SimpleNamespace(length=np.asarray(ls, np.float32))
+        ls = np.asarray(ls, np.float32)
+        return SimpleNamespace(cum_length=np.cumsum(ls).astype(np.float32))
 
     assert not fused_supported(ln(0.5, 0.0, 0.5), 44100.0)     # interior
     assert fused_supported(ln(0.5, 0.5, 0.0, 0.0), 44100.0)    # trailing pad
@@ -189,7 +190,7 @@ def test_api_falls_back_on_interior_zero_span():
     s = text_to_score("aea")
     lengths = np.asarray(s.length).copy()
     lengths[1] = 0.0
-    z = Score(elem=s.elem, has_sound=s.has_sound,
+    z = Score.build(elem=s.elem, has_sound=s.has_sound,
               length=jnp.asarray(lengths), blend_length=s.blend_length)
     out = synthesize_scores([z], backend="fused_interpret")[0]
     ref = synthesize_scores([z], backend="xla")[0]
@@ -233,7 +234,7 @@ def test_fused_boundary_selection_past_2p24_samples():
     assert int(np.float32(n1 + 1)) == n1     # the tie rounds down: k1f flips
 
     lengths[1] = float(c)
-    long_score = Score(elem=score.elem, has_sound=score.has_sound,
+    long_score = Score.build(elem=score.elem, has_sound=score.has_sound,
                        length=jnp.asarray(lengths),
                        blend_length=score.blend_length)
 

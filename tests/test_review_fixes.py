@@ -263,7 +263,7 @@ def test_negative_time_alpha_clamped():
     # identical rows would cancel the alpha term (cur*a + nxt*(1-a) == cur)
     elem2 = type(rows[0])(*(np.stack([np.asarray(f) for f in fs])
                             for fs in zip(*rows)))
-    score = Score(elem=elem2._replace(
+    score = Score.build(elem=elem2._replace(
                       frequency=np.asarray([0.003, 0.006], np.float32)),
                   has_sound=np.asarray([True, True]),
                   length=jnp.asarray([float(L), 0.5], jnp.float32),

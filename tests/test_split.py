@@ -117,3 +117,38 @@ def test_solo_score_routes_to_production_split_path():
     ref = synthesize_score(score, "generic", backend="xla")
     assert out.shape == ref.shape
     assert sample_error_db(out, ref) < -60
+
+
+@pytest.mark.parametrize("rate", [22050.0, 48000.0])
+def test_split_fused_resampled_rate(rate):
+    """Split-fused at non-default sample rates: segment 0's masked pre-roll
+    freezes the jitter cell track for WARMUP samples, so its lattice
+    pre-shift must be solved from the schedule, not the lane start cell —
+    at 22.05 kHz the W*inc offset (2.97 rows) blew the grid window cushion
+    and silently zeroed segment-0 jitter (rate22050 fused regression,
+    FIDELITY_r04 capture)."""
+    from grail_tpu.api import _split_sched, _synth_jit_split_fused
+    from grail_tpu.synth.schedule import device_window
+
+    voice = get_voice("generic").resampled(rate)
+    sr = float(voice.sample_rate)
+    score = text_to_score("aeae", voice=voice)
+    N = _score_num_samples(score, sr)
+    S = 4
+    T = _round_up(N, S * 4096)
+    lat = build_lattice(0, T, voice.jitter_frequency)
+    lattices = JitterLattice(*(f[None] for f in lat))
+    batched = stack_scores([score])
+    jp = tuple(jnp.float32(x) for x in (
+        voice.jitter_frequency, voice.jitter_delta_frequency,
+        voice.jitter_delta_formant_frequency, voice.jitter_delta_amplitude))
+    inc = voice.jitter_frequency
+    pre, seg, shift = _split_sched(inc, T, S)
+    out = np.asarray(_synth_jit_split_fused(
+        batched, lattices, jp, jnp.float32(sr), pre, seg, shift, T, S,
+        interpret=True))
+    sched = device_window(inc, 0, T)
+    ref = np.asarray(_synth_jit_batch(batched, lattices, jp,
+                                      jnp.float32(sr), sched, T, "xla"))
+    assert sample_error_db(out[0, :N], ref[0, :N]) < -90
+    assert np.abs(out[0, :N] - ref[0, :N]).max() < 1e-4
