@@ -55,18 +55,11 @@ def native_oracle_available() -> bool:
     return _oracle_fn() is not None
 
 
-def native_oracle_dsp_chain(pelems: Sequence, spec: VoiceSpec,
-                            jitter_seed: int = 0) -> Optional[np.ndarray]:
-    """Native twin of oracle_dsp_chain: timed PhonemeElems -> f32 samples.
-
-    Same signature and (bit-exact) output as reference.oracle_dsp_chain;
-    returns None when the native library isn't built, so callers can fall
-    back to the NumPy oracle.
-    """
-    fn = _oracle_fn()
-    if fn is None:
-        return None
-
+def _marshal_and_run(fn, pelems: Sequence, spec: VoiceSpec,
+                     jitter_seed: int) -> np.ndarray:
+    """Select + marshal a PhonemeElem sequence into the native chain ABI
+    and run `fn` (gn_oracle_dsp_chain or gn_carrier_phase_track — same
+    argument layout) with output-capacity retry."""
     from ..synth.score import merge_glides
 
     voice = NpVoice.from_spec(spec)
@@ -129,6 +122,48 @@ def native_oracle_dsp_chain(pelems: Sequence, spec: VoiceSpec,
     raise RuntimeError("native oracle output capacity retry exhausted")
 
 
+def native_oracle_dsp_chain(pelems: Sequence, spec: VoiceSpec,
+                            jitter_seed: int = 0) -> Optional[np.ndarray]:
+    """Native twin of oracle_dsp_chain: timed PhonemeElems -> f32 samples.
+
+    Same signature and (bit-exact) output as reference.oracle_dsp_chain;
+    returns None when the native library isn't built, so callers can fall
+    back to the NumPy oracle.
+    """
+    fn = _oracle_fn()
+    if fn is None:
+        return None
+    return _marshal_and_run(fn, pelems, spec, jitter_seed)
+
+
+def native_carrier_phase_track(pelems: Sequence, spec: VoiceSpec,
+                               jitter_seed: int = 0) -> Optional[np.ndarray]:
+    """The reference's exact f32 carrier phase per sample (PRE-update, the
+    value polyBLEP/saw consume; /root/reference/src/lib.rs:520-525), from
+    the native frequency-chain pre-pass (gn_carrier_phase_track). The
+    device's exact-carrier paths consume this in place of the Q32
+    fixed-point accumulator, removing the dominant long-form residual
+    (Q32-vs-f32 carrier drift: -60.7 dB alone at 86.5 s, docs/PARITY.md).
+    Returns None when the native library isn't built or predates the
+    symbol — callers then stay on the Q32 carrier."""
+    global _track_registered
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, "gn_carrier_phase_track", None)
+    if fn is None:
+        return None
+    if not _track_registered:
+        oracle = _oracle_fn()   # same ABI; reuse its argtypes
+        fn.restype = ctypes.c_int64
+        fn.argtypes = oracle.argtypes
+        _track_registered = True
+    return _marshal_and_run(fn, pelems, spec, jitter_seed)
+
+
+_track_registered = False
+
+
 def gold_dsp_chain(pelems: Sequence, spec: VoiceSpec,
                    jitter_seed: int = 0) -> np.ndarray:
     """Fidelity gold: the native twin when built, else the NumPy oracle.
@@ -146,4 +181,4 @@ def gold_dsp_chain(pelems: Sequence, spec: VoiceSpec,
 
 
 __all__ = ["native_oracle_available", "native_oracle_dsp_chain",
-           "gold_dsp_chain"]
+           "native_carrier_phase_track", "gold_dsp_chain"]

@@ -91,17 +91,25 @@ def _sample_v0(elem: SynthesisElem, saw, noise, state_a):
 # ---------------------------------------------------------------------------
 
 def synthesize_scan(elems: SynthesisElem,
-                    state: Optional[SynthState] = None) -> Tuple[jnp.ndarray, SynthState]:
-    """One lax.scan step per sample, reference op order. elems: [T, ...]."""
+                    state: Optional[SynthState] = None,
+                    carrier=None) -> Tuple[jnp.ndarray, SynthState]:
+    """One lax.scan step per sample, reference op order. elems: [T, ...].
+
+    `carrier` (optional [T, ...]): the reference's exact f32 per-sample
+    carrier phase (native pre-pass); replaces the carried phase recurrence
+    (the returned state's phase is then the last track value, post-update
+    under the reference rule)."""
     if state is None:
         state = SynthState.init(elems.batch_shape[1:])
 
-    def step(st: SynthState, elem: SynthesisElem):
+    def step(st: SynthState, xs):
+        elem, car = xs
         f = elem.frequency
-        pb = _polyblep(st.phase, f)
-        saw = (2.0 * st.phase - 1.0 - pb)[..., None]
+        ph = st.phase if car is None else car
+        pb = _polyblep(ph, f)
+        saw = (2.0 * ph - 1.0 - pb)[..., None]
 
-        phase = st.phase + f
+        phase = ph + f
         phase = jnp.where(phase >= 1.0, phase - 1.0, phase)
 
         seed = st.seed * jnp.uint32(LEHMER_A) + jnp.uint32(1)
@@ -119,7 +127,7 @@ def synthesize_scan(elems: SynthesisElem,
         out = jnp.sum(v1, axis=-1) * 0.5
         return SynthState(phase, state_a, state_b, state_c, seed), out
 
-    state, out = jax.lax.scan(step, state, elems)
+    state, out = jax.lax.scan(step, state, (elems, carrier))
     return out, state
 
 
@@ -244,12 +252,21 @@ def synthesize_block(elems: SynthesisElem,
     return _block_core(elems, state)
 
 
-def _block_core(elems: SynthesisElem, state: SynthState) -> Tuple[jnp.ndarray, SynthState]:
-    """One fully-parallel block (see synthesize_block)."""
+def _block_core(elems: SynthesisElem, state: SynthState,
+                carrier=None) -> Tuple[jnp.ndarray, SynthState]:
+    """One fully-parallel block (see synthesize_block).
+
+    `carrier` (optional [T, ...]): exact f32 carrier phase per sample
+    (native pre-pass) in place of the Q32 accumulator; the carried
+    state's phase is then passed through unchanged (exact-carrier callers
+    never read it)."""
     T = elems.frequency.shape[0]
 
     f = elems.frequency
-    phase, phase_out = carrier_phase(f, state.phase)
+    if carrier is None:
+        phase, phase_out = carrier_phase(f, state.phase)
+    else:
+        phase, phase_out = carrier, state.phase
     pb = _polyblep(phase, f)
     saw = (2.0 * phase - 1.0 - pb)[..., None]
 

@@ -130,6 +130,11 @@ inline float tan_approx(float x) {
 //                1 = production Q32 fixed point: uint32 wraparound cumsum of
 //                    (f * 2^32) casts, dequantized per sample
 //                    (synth/synthesize.py:carrier_phase)
+// `phase_out` (nullable): when set, the chain records the PRE-update
+// carrier phase of every sample — the value polyBLEP/saw consume
+// (src/lib.rs:520-525) — and SKIPS the formant-filter tail (the phase
+// depends only on the frequency chain, so the track costs ~1/4 of the
+// full oracle). `out` may be null in that mode.
 static int64_t oracle_chain_impl(
         const int32_t* present, const float* length, const float* blend,
         const float* frequency, const float* ff, const float* fbw,
@@ -137,7 +142,8 @@ static int64_t oracle_chain_impl(
         const float* famp, int64_t e, float sample_rate,
         uint32_t jitter_seed, float jf, float jdf, float jdff, float jda,
         float* out, int64_t out_cap,
-        int32_t jitter_mode, int32_t carrier_mode) {
+        int32_t jitter_mode, int32_t carrier_mode,
+        float* phase_out = nullptr) {
     for (int64_t i = 0; i < e; ++i) {
         if (!(length[i] - length[i] == 0.0f)) return -2 - i;  // inf or NaN
     }
@@ -309,6 +315,13 @@ static int64_t oracle_chain_impl(
                 // (u32 -> f32 rounds to nearest, * 2^-32 is exact)
                 phase = static_cast<float>(qsum) * (1.0f / 4294967296.0f);
             }
+            if (phase_out != nullptr) {
+                if (n_out >= out_cap) return -1;
+                phase_out[n_out++] = phase;
+                phase = phase + f;
+                if (phase >= 1.0f) phase = phase - 1.0f;
+                continue;
+            }
             float polyblep;
             if (phase < f) {
                 const float t = phase / f;
@@ -417,6 +430,28 @@ int64_t gn_oracle_dsp_chain_lab(const int32_t* present, const float* length,
 // for continuation is (phi[T-1], base_cell + return). The production device
 // paths consume these arrays in place of the closed form floor(k*inc),
 // which drifts from the reference by whole cells over ~10^6 samples.
+// Reference carrier phase track: the PRE-update f32 phase of every sample
+// (the value polyBLEP and the saw consume; src/lib.rs:520-525, update
+// `phase += f; if (phase >= 1) phase -= 1`). Runs the full frequency chain
+// (sequencer -> jitter -> phase recurrence) and skips the filter tail.
+// Device paths consume this track in place of the Q32 fixed-point
+// accumulator, whose rounding-free sum drifts from the reference's f32
+// recurrence by ~0.1 cycles over 86 s (-60.7 dB alone; docs/PARITY.md).
+// Same argument conventions and error returns as gn_oracle_dsp_chain.
+int64_t gn_carrier_phase_track(const int32_t* present, const float* length,
+                               const float* blend, const float* frequency,
+                               const float* ff, const float* fbw,
+                               const float* fsm, const float* fbr,
+                               const float* ftb, const float* famp,
+                               int64_t e, float sample_rate,
+                               uint32_t jitter_seed, float jf, float jdf,
+                               float jdff, float jda,
+                               float* phase_out, int64_t cap) {
+    return oracle_chain_impl(present, length, blend, frequency, ff, fbw, fsm,
+                             fbr, ftb, famp, e, sample_rate, jitter_seed, jf,
+                             jdf, jdff, jda, nullptr, cap, 0, 0, phase_out);
+}
+
 int64_t gn_jitter_phase_schedule(float inc, float phase0, int64_t T,
                                  float* phi, int32_t* cell) {
     float phase = phase0;
