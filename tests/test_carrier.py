@@ -1,0 +1,133 @@
+"""Exact-carrier-phase regression tests (the round-4 long-form fix).
+
+The reference accumulates carrier phase per sample in f32 (`phase += f;
+if phase >= 1 { phase -= 1 }`, /root/reference/src/lib.rs:520-525). The
+production Q32 fixed-point prefix sum is rounding-free and therefore
+drifts from the reference by ~0.1 cycles over 86 s (-60.7 dB alone,
+docs/PARITY.md). These tests pin the native carrier pre-pass
+(gn_carrier_phase_track) bit-exactly against the oracle's own phase
+recurrence and pin the device plumbing that consumes the track.
+"""
+
+import numpy as np
+import pytest
+
+from grail_tpu.api import (WARMUP, _carrier_track_for, _split_carrier,
+                           text_to_phoneme_elems, synthesize,
+                           synthesize_batch)
+from grail_tpu.oracle import gold_dsp_chain
+from grail_tpu.oracle.native import (native_carrier_phase_track,
+                                     native_oracle_available)
+from grail_tpu.oracle import reference as orc
+from grail_tpu.text.intonate import PhonemeElem
+from grail_tpu.text.phonemes import Phoneme
+from grail_tpu.utils import spectral_error_db
+from grail_tpu.voices import get_voice
+from grail_tpu.voices.preset_generic import SPEC
+
+F32 = np.float32
+needs_native = pytest.mark.skipif(not native_oracle_available(),
+                                  reason="native oracle twin not built")
+
+
+def _pelems():
+    # short but structurally varied: leading silence, two vowels with
+    # distinct frequencies, interior silence, tail vowel (~0.7 s total)
+    return [
+        PhonemeElem(Phoneme.SILENCE, 0.1, 0.02, 1.0),
+        PhonemeElem(Phoneme.A, 0.2, 0.05, 1.1),
+        PhonemeElem(Phoneme.E, 0.15, 0.08, 0.9),
+        PhonemeElem(Phoneme.SILENCE, 0.08, 0.02, 1.0),
+        PhonemeElem(Phoneme.A, 0.18, 0.04, 1.0),
+    ]
+
+
+@needs_native
+def test_native_track_matches_oracle_recurrence():
+    """The native pre-pass emits the exact pre-update phase the oracle's
+    own synthesis loop consumes (reference recurrence, f32 per sample)."""
+    pelems = _pelems()
+    track = native_carrier_phase_track(pelems, SPEC, jitter_seed=0)
+    assert track is not None
+
+    voice = orc.NpVoice.from_spec(SPEC)
+    from grail_tpu.synth.score import merge_glides
+    seq = orc.oracle_select(merge_glides(list(pelems)), voice)
+    stream = orc.oracle_jitter(
+        orc.oracle_sequence(seq, float(voice.sample_rate)), 0, voice)
+
+    one = F32(1.0)
+    phase = F32(0.0)
+    for k, elem in enumerate(stream):
+        # emitted value is the PRE-update phase (what polyBLEP/saw read)
+        assert phase.view(np.uint32) == track[k].view(np.uint32), k
+        phase = F32(phase + elem.frequency)
+        if phase >= 1.0:
+            phase = F32(phase - one)
+    assert k + 1 == len(track)
+
+
+@needs_native
+def test_exact_carrier_closes_solo_residual():
+    """End-to-end: the xla path with the exact carrier lands on the scan
+    path's fidelity floor; disabling it measurably drifts (proves the
+    track is consumed, not silently dropped)."""
+    v = get_voice("generic")
+    pelems = text_to_phoneme_elems("aeae", v, "generic")
+    gold = gold_dsp_chain(pelems, SPEC)
+
+    exact = synthesize("aeae", voice="generic", language="generic",
+                       backend="xla", exact_carrier=True)
+    q32 = synthesize("aeae", voice="generic", language="generic",
+                     backend="xla", exact_carrier=False)
+    n = min(len(gold), len(exact))
+    db_exact = spectral_error_db(exact[:n], gold[:n])
+    db_q32 = spectral_error_db(q32[:n], gold[:n])
+    assert db_exact < -70.0, db_exact
+    # Q32 stays sub-gate but measurably behind the exact track
+    assert db_exact < db_q32 - 3.0, (db_exact, db_q32)
+
+
+@needs_native
+def test_fused_split_carrier_matches_xla():
+    """The overlap-save split-fused kernel consuming per-segment carrier
+    windows agrees with the monolithic xla core consuming the flat track."""
+    kw = dict(voice="generic", language="generic")
+    a = synthesize_batch(["aeae"], backend="fused_interpret",
+                         exact_carrier=True, **kw)[0]
+    b = synthesize("aeae", backend="xla", exact_carrier=True, **kw)
+    n = min(len(a), len(b))
+    np.testing.assert_allclose(a[:n], b[:n], atol=2e-5, rtol=0)
+
+
+def test_split_carrier_preroll_cycle():
+    """Segment 0's virtual pre-roll reproduces the Q32 silent-warmup phase
+    cycle {0, .25, .5, .75} and the first real sample lands on track[0];
+    later segments read the flat track at their absolute offsets."""
+    T, S = 8192, 4
+    Ts = T // S
+    track = (np.arange(T, dtype=np.float32) * np.float32(0.001)) % 1.0
+    seg = np.asarray(_split_carrier(track, T, S))
+    assert seg.shape == (Ts + WARMUP, S)
+    # pre-roll cycle, aligned so phase 0 recurs at the first real sample
+    expect_pre = (np.arange(WARMUP) % 4).astype(np.float32) * 0.25
+    np.testing.assert_array_equal(seg[:WARMUP, 0], expect_pre)
+    assert seg[WARMUP, 0] == track[0]
+    full = np.concatenate([expect_pre, track])
+    for k in range(1, S):
+        np.testing.assert_array_equal(seg[:, k],
+                                      full[k * Ts: k * Ts + Ts + WARMUP])
+
+
+def test_exact_carrier_true_requires_native(monkeypatch):
+    """exact_carrier=True fails loudly when the pre-pass is unavailable
+    (auto mode silently falls back to Q32 instead)."""
+    import grail_tpu.api as api
+    monkeypatch.setattr(api, "_carrier_track_for", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="native carrier pre-pass"):
+        synthesize("aeae", voice="generic", language="generic",
+                   backend="xla", exact_carrier=True)
+    # auto: no error, Q32 result
+    out = synthesize("aeae", voice="generic", language="generic",
+                     backend="xla")
+    assert np.isfinite(out).all() and len(out) > 0

@@ -55,16 +55,20 @@ def test_synthesize_normalized(block_ae):
 
 
 def test_batch_equals_single(block_ae):
+    # B>1 batches always run the Q32 carrier (the exact-carrier pre-pass is
+    # solo-only, api.synthesize_batch), so compare against Q32 solo runs —
+    # the default solo path may ride the exact carrier instead.
     outs = synthesize_batch(["ae", "ea", "ae"])
-    single_ea = synthesize("ea")
-    np.testing.assert_allclose(outs[0], block_ae, atol=2e-5)
+    single_ae = synthesize("ae", exact_carrier=False)
+    single_ea = synthesize("ea", exact_carrier=False)
+    np.testing.assert_allclose(outs[0], single_ae, atol=2e-5)
     np.testing.assert_allclose(outs[1], single_ea, atol=2e-5)
-    np.testing.assert_allclose(outs[2], block_ae, atol=2e-5)
+    np.testing.assert_allclose(outs[2], single_ae, atol=2e-5)
 
 
 def test_multi_voice_batch():
     outs = synthesize_batch(["aeae", "aeae"], voice=["plain", "bright"], seeds=[1, 1])
-    single = synthesize("aeae", voice="bright", seed=1)
+    single = synthesize("aeae", voice="bright", seed=1, exact_carrier=False)
     assert sample_error_db(outs[1], single) < -100   # per-voice params exact
     assert sample_error_db(outs[0], outs[1]) > -20   # voices actually differ
 

@@ -18,15 +18,12 @@ from grail_tpu.utils import sample_error_db
 
 
 def test_stream_matches_offline():
-    from grail_tpu.api import synthesize_score
-    from grail_tpu.synth.score import score_from_phoneme_elems
-    from grail_tpu.text.intonate import intonate
-    from grail_tpu.voices import get_voice
+    # vs the PRODUCTION frontend (api.synthesize): includes the reference's
+    # per-utterance leading Silence (transcribe(), src/lib.rs:1197-1204) —
+    # the stream emits it with the session's first real text
+    from grail_tpu.api import synthesize
 
-    v = get_voice("generic")
-    phon = list(transcribe_chars("aeae", languages.generic()))
-    score = score_from_phoneme_elems(intonate(phon, None, v), v)
-    offline = synthesize_score(score, v, seed=0)
+    offline = synthesize("aeae", exact_carrier=False)
 
     s = StreamSession(seed=0, block=1024)
     s.feed("aeae")
@@ -85,7 +82,10 @@ def test_stream_live_intonation_commands():
     s = StreamSession(voice="plain", language="english")
     s.feed("la[pitch:240]la", parse_commands=True)
     s.flush()
-    a = s.read(44100)
+    # the utterance opens with the reference-parity 0.5 s leading Silence;
+    # measured f0 plateaus (profiled): 120 Hz through ~0.9 s, blend to the
+    # pitched element, 240 Hz plateau ~1.6-2.1 s
+    a = s.read(44100 * 2 + 8000)
 
     def f0(x, sr=44100):
         x = x - x.mean()
@@ -93,8 +93,8 @@ def test_stream_live_intonation_commands():
         lo, hi = int(sr / 400), int(sr / 60)
         return sr / (lo + np.argmax(ac[lo:hi]))
 
-    before = f0(a[2000:12000])
-    after = f0(a[26000:36000])
+    before = f0(a[20000:32000])
+    after = f0(a[72000:90000])
     assert 100 < before < 140      # plain voice center 120 Hz
     assert 200 < after < 280       # pitched up to 240 Hz
     # rate + voice commands apply without error
