@@ -177,3 +177,51 @@ def test_pool_live_voice_switch_matches_solo():
         got.append(pool.read_block()[1])
     err = np.max(np.abs(np.concatenate(got) - np.concatenate(want)))
     assert err < 1e-5              # interpret-mode kernel vs XLA solo path
+
+
+def test_pool_quiet_fast_path_bit_exact_and_engaged():
+    """The steady-state quiet-horizon fast path (_prepare_tick) must (a)
+    actually engage, (b) stay bit-identical to a pool with the fast path
+    disabled across many ticks INCLUDING staggered lattice-window slides,
+    and (c) invalidate correctly when a feed lands mid-quiet."""
+    text = "hello there my friend, the synthesizers hum along. " * 3
+
+    def mk():
+        p = StreamPool(2, voice="plain", language="english", block=1024,
+                       backend="fused_interpret", jitter_horizon_s=2.0)
+        for i in range(2):
+            p.feed(i, text)
+            p.flush(i)
+        return p
+
+    fast, ctrl = mk(), mk()
+    maintained = [0]
+    for s in fast.sessions:
+        orig = s._ensure_audio_horizon
+
+        def counted(blk, _o=orig):
+            maintained[0] += 1
+            return _o(blk)
+
+        s._ensure_audio_horizon = counted
+
+    n_ticks = 120            # ~2.8 s/session: several window slides at 2 s
+    fed = False
+    skipped = 0
+    lat_v0 = tuple(s._lattice.version for s in fast.sessions)
+    for t in range(n_ticks):
+        if t == 40 and not fed:       # a feed mid-quiet must invalidate
+            for p in (fast, ctrl):
+                p.feed(0, "more text arrives now. ")
+                p.flush(0)
+            fed = True
+        before = maintained[0]
+        ctrl._quiet = None            # control: full maintenance every tick
+        a = fast.read_block()
+        b = ctrl.read_block()
+        if maintained[0] == before:
+            skipped += 1
+        np.testing.assert_array_equal(a, b, err_msg=f"tick {t}")
+    assert skipped > n_ticks // 2, skipped          # fast path engaged
+    assert tuple(s._lattice.version for s in fast.sessions) != lat_v0, \
+        "no lattice-window slide happened; the test lost its teeth"
