@@ -205,7 +205,8 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
         elems, valid = jax.vmap(expand_one, in_axes=(0, 0, da, da, da))(
             scores, lattices, jdf, jdff, jda)
         elems_tm = SynthesisElem(*(jnp.moveaxis(f, 0, 1) for f in elems))
-        out, _ = synthesize_scan(elems_tm)
+        out, _ = synthesize_scan(
+            elems_tm, carrier=None if car is None else car[:, None])
         return jnp.moveaxis(out, 0, 1) * valid
 
     use_pallas = backend.startswith("pallas")
@@ -234,7 +235,9 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
             out, st = synth_core_pallas(elems_tm, st,
                                         interpret=backend == "pallas_interpret")
         else:
-            out, st = _block_core(elems_tm, st)                # [blk, B]
+            car_b = (None if car is None else
+                     jax.lax.dynamic_slice(car, (off,), (blk,))[:, None])
+            out, st = _block_core(elems_tm, st, carrier=car_b)  # [blk, B]
         return st, jnp.moveaxis(out, 0, 1) * valid             # [B, blk]
 
     _, outs = jax.lax.scan(step, SynthState.init((B,)), jnp.arange(nb))
@@ -857,10 +860,11 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     lengths.
 
     `carrier_tracks` (optional, one per score, entries may be None): exact
-    f32 carrier phase tracks (oracle.native). Consumed on the fused paths
-    for B == 1 (the solo/CLI route — per-lane tracks for B > 1 would cost
-    O(T*B) host pre-pass + upload on the throughput path; those lanes keep
-    the Q32 carrier)."""
+    f32 carrier phase tracks (oracle.native). Consumed on the fused, xla,
+    and scan paths for B == 1 (the solo/CLI route — per-lane tracks for
+    B > 1 would cost O(T*B) host pre-pass + upload on the throughput path;
+    those lanes, and the streaming-pallas fallback whose prep owns the Q32
+    accumulator, keep the Q32 carrier)."""
     scores_raw = list(scores)
     B = len(scores_raw)
     if B == 0:
@@ -942,10 +946,13 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     from .synth.schedule import device_window
 
     inc = v0.jitter_frequency
-    # exact-carrier track: solo (B == 1) fused routes only — see docstring
+    # exact-carrier track: solo (B == 1) routes only — see docstring. The
+    # streaming-pallas fallback computes Q32 phase inside its prep and keeps
+    # it (kernel.py:59); fused/xla/scan all consume the track.
     track = None
     if (carrier_tracks is not None and B == 1
-            and backend.startswith("fused") and carrier_tracks[0] is not None):
+            and backend in ("fused", "fused_interpret", "xla", "scan")
+            and carrier_tracks[0] is not None):
         track = np.asarray(carrier_tracks[0], np.float32)
     if S > 1:
         if backend == "fused":
@@ -961,7 +968,7 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     else:
         sched = device_window(inc, 0, T)
         car = None
-        if track is not None and backend.startswith("fused"):
+        if track is not None:
             car = _pad_track(track, T)
         out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
                                           jnp.float32(sr), sched, T, backend,

@@ -92,7 +92,9 @@ def test_streamed_feed_chunking_invariant(seed):
     rng = np.random.default_rng(seed)
     text = "she pushed the fish to the shore with a thin stick"
     eng = languages.get_language("english")
-    whole = list(transcribe_chars(text, eng))
+    # the session seeds the frontend's reference-parity leading Silence
+    # (transcribe(..., leading_silence=True)) before the first utterance
+    whole = [Phoneme.SILENCE] + list(transcribe_chars(text, eng))
 
     s = StreamSession(voice="plain", language="english")
     i = 0

@@ -27,8 +27,9 @@ def test_read_partial_blocks_are_gapfree():
 
 def test_feed_boundary_does_not_split_digraphs():
     # finding 2: a multi-char rule straddling feed boundaries must still match
+    # (the session seeds the frontend's reference-parity leading Silence)
     eng = languages.get_language("english")
-    whole = list(transcribe_chars("push it", eng))
+    whole = [Phoneme.SILENCE] + list(transcribe_chars("push it", eng))
 
     s = StreamSession(voice="plain", language="english")
     for piece in ("pu", "sh", " ", "i", "t"):
