@@ -520,6 +520,21 @@ def _spec_for_voice(v):
     return spec
 
 
+# Auto exact-carrier duration gate: the Q32 carrier's residual vs the
+# reference's f32 recurrence is duration-growing (measured carrier-alone,
+# exact jitter, benchmarks/attribution.py lab: -72.0 dB @ 10.5 s, -68.4 @
+# 27.5 s, -61.7 @ 54.5 s, -57.8 @ 81.5 s). Below 30 s it keeps > 8 dB of
+# margin against the -60 dB fidelity gate, and the exact track costs an
+# O(T) host pre-pass plus a 4 B/sample device upload — so auto mode only
+# engages past this.
+EXACT_CARRIER_AUTO_SECONDS = 30.0
+
+
+def _wants_exact_carrier(pelems) -> bool:
+    return (sum(float(p.length) for p in pelems)
+            > EXACT_CARRIER_AUTO_SECONDS)
+
+
 _carrier_cache = {}
 
 
@@ -723,12 +738,17 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
     `backend` pins a specific compute path (see synthesize_score); None =
     the production default for the platform.
 
-    `exact_carrier`: None (auto — on when the native pre-pass is built and
-    the voice is a registered preset) / True (require; error if the
-    pre-pass is unavailable) / False (Q32 fixed-point carrier). The exact
-    carrier reproduces the reference's f32 phase recurrence bit-for-bit,
-    removing its drift term (-60.7 dB alone at 86.5 s vs the Q32
-    accumulator's exact mod-1 sum; docs/PARITY.md)."""
+    `exact_carrier`: None (auto — on for utterances longer than
+    EXACT_CARRIER_AUTO_SECONDS when the native pre-pass is built and the
+    voice is a registered preset) / True (require at any length; error if
+    the pre-pass is unavailable) / False (Q32 fixed-point carrier). The
+    exact carrier reproduces the reference's f32 phase recurrence
+    bit-for-bit, removing its drift term vs the Q32 accumulator's exact
+    mod-1 sum. That drift grows with duration (measured carrier-alone
+    residual: -72.0 dB at 10.5 s, -68.4 at 27.5 s, -61.7 at 54.5 s, -57.8
+    at 81.5 s, saturating ~-57 past 100 s; docs/PARITY.md), so auto mode
+    only pays the O(T) pre-pass + track upload where the Q32 margin
+    against the -60 dB gate actually thins."""
     v = _resolve_voice(voice)
     if sample_rate and float(sample_rate) != float(v.sample_rate):
         v = v.resampled(float(sample_rate))
@@ -736,7 +756,8 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
                                    speaking_rate=speaking_rate)
     score = score_from_phoneme_elems(pelems, v)
     track = None
-    if exact_carrier is not False:
+    if exact_carrier or (exact_carrier is None
+                         and _wants_exact_carrier(pelems)):
         track = _carrier_track_for(pelems, v, seed)
         if track is None and exact_carrier:
             raise RuntimeError(
@@ -831,7 +852,8 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     # exact carrier: solo only by default (a B-lane track pre-pass + upload
     # is O(T*B) host work on the throughput path — synthesize_scores
     # ignores tracks for B > 1 regardless)
-    if exact_carrier is not False and B == 1:
+    if B == 1 and (exact_carrier or (exact_carrier is None and
+                                     _wants_exact_carrier(pelems_all[0]))):
         tracks = [_carrier_track_for(pelems_all[0], voices[0], seeds[0])]
         if tracks[0] is None:
             if exact_carrier:

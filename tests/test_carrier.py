@@ -131,3 +131,28 @@ def test_exact_carrier_true_requires_native(monkeypatch):
     out = synthesize("aeae", voice="generic", language="generic",
                      backend="xla")
     assert np.isfinite(out).all() and len(out) > 0
+
+
+def test_exact_carrier_auto_duration_gate(monkeypatch):
+    """Auto mode (exact_carrier=None) engages the pre-pass only past
+    EXACT_CARRIER_AUTO_SECONDS: short utterances keep the Q32 carrier
+    (> 8 dB of measured gate margin below 30 s) and skip the O(T) host
+    pre-pass + 4 B/sample upload; long ones pay it (Q32 alone fails the
+    gate past ~80 s — see the measured curve at api.py's constant)."""
+    from grail_tpu import api
+    from grail_tpu.text.intonate import PhonemeElem
+    from grail_tpu.text.phonemes import Phoneme
+
+    calls = []
+
+    def spy(pelems, v, seed):
+        calls.append(sum(p.length for p in pelems))
+        return None                      # auto tolerates an unbuilt native
+
+    monkeypatch.setattr(api, "_carrier_track_for", spy)
+    synthesize("aeae", voice="generic", language="generic", backend="xla")
+    assert calls == []                   # ~1.2 s utterance: auto stays off
+
+    long_pelems = [PhonemeElem(Phoneme.A, 1.0, 0.5, 120.0 / 44100.0)] * 31
+    assert api._wants_exact_carrier(long_pelems)
+    assert not api._wants_exact_carrier(long_pelems[:29])
