@@ -411,7 +411,8 @@ def _synth_jit_split(scores: Score, lattices: JitterLattice, jparams, sample_rat
     return jnp.moveaxis(segs, 0, 1).reshape(B, T)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "S", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("lat_shift", "T", "S", "interpret"))
 def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
                            sample_rate, sched_pre, sched_seg, lat_shift,
                            T: int, S: int,
@@ -432,7 +433,8 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     `sched_seg`  — (phi [Text, S], cell [Text, S]): per-SEGMENT windows
                    (segment s covers absolute samples s*Ts - W + 1 ..);
                    lanes are s-major so each column repeats B times.
-    `lat_shift`  — [S] i32 exact cell at each segment's jitter start.
+    `lat_shift`  — [S] tuple of ints (STATIC): exact cell at each
+                   segment's jitter start.
     """
     from .synth.kernel_fused import (build_tables, phase_q32_pre_block,
                                      synth_fused_pallas)
@@ -472,8 +474,8 @@ def _synth_jit_split_fused(scores: Score, lattices: JitterLattice, jparams,
     )
     tables = build_tables(scores_t, lattices_t, (jf, jdf_t, jdff_t, jda_t),
                           sample_rate, g0=g0_lane,
-                          lat_shift=jnp.repeat(
-                              jnp.asarray(lat_shift, jnp.int32), B))
+                          lat_shift=tuple(np.repeat(
+                              np.asarray(lat_shift, np.int32), B)))
     # expand the compact per-segment schedule columns to s-major lanes
     # (cheap HBM broadcast; the compact form keeps host build + upload at
     # O(T), not O(T*B))
@@ -653,7 +655,10 @@ def _split_sched(inc, T: int, S: int):
                 f"{hi - lo} exceeds {nlat - 3} (inc={float(inc)}, T={T}, "
                 f"S={S})")
         shift_np[k] = lo
-    shift = jnp.asarray(shift_np)
+    # a TUPLE marks the shifts trace-time-static: _synth_jit_split_fused
+    # declares them static_argnames and build_tables lowers the lattice
+    # row shift to S static slices instead of a per-lane gather
+    shift = tuple(int(v) for v in shift_np)
     out = (pre, seg, shift)
     if len(_split_sched_cache) >= 16:
         _split_sched_cache.clear()

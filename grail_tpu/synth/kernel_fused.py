@@ -146,6 +146,34 @@ class FusedTables(NamedTuple):
     inc: jnp.ndarray      # [1, 1] f32  jitter rate (SMEM scalar; shared)
 
 
+def _static_shift_rows(x, sh: np.ndarray, Wk: int):
+    """Row-shift x [Wp, ..., B] by STATIC per-lane shifts sh [B] — the
+    trace-time equivalent of
+    take_along_axis(x, clip(arange(Wk)[:,None] + sh[None,:], 0, Wp-1)).
+    Edge padding reproduces the clip's row-0 / row-(Wp-1) saturation, and
+    lanes with equal shift (the split path's s-major segment runs) share
+    one static slice — no gather ever reaches XLA (an iota-indexed
+    take_along_axis costs ~11.6 ms at 512 lanes on TPU; measured)."""
+    Wp = x.shape[0]
+    pt = max(0, -int(sh.min()))
+    pb = max(0, int(sh.max()) + Wk - Wp)
+    if pt:
+        x = jnp.concatenate(
+            [jnp.broadcast_to(x[:1], (pt,) + x.shape[1:]), x], axis=0)
+    if pb:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pb,) + x.shape[1:])], axis=0)
+    parts, i, B = [], 0, sh.shape[0]
+    while i < B:
+        j = i
+        while j < B and sh[j] == sh[i]:
+            j += 1
+        r0 = int(sh[i]) + pt
+        parts.append(x[r0:r0 + Wk, ..., i:j])
+        i = j
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def build_tables(score: Score, lattice, jparams, sample_rate,
                  g0=None, g0_jitter=None, window=None,
                  lat_shift=None, lat_base=None) -> FusedTables:
@@ -164,7 +192,10 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     (_n_lat_rows-style margin included); rows clip at the window reserve
     edge exactly as the unwindowed gather does.
 
-    `lat_shift` ([B] i32, optional): the EXACT lattice cell index — RELATIVE
+    `lat_shift` ([B] i32 array, or a tuple of Python ints to mark the
+    shifts trace-time-STATIC — the row shift then lowers to per-run static
+    slices via _static_shift_rows instead of a gather): the EXACT lattice
+    cell index — RELATIVE
     to the passed lattice window's row 0 — at each lane's jitter start
     (schedule.state_at(g0j), or carried_cell - lat_base in serving). The
     kernels index lattice rows by exact absolute cell, so this must be
@@ -195,6 +226,9 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     dt = jnp.float32(1.0) / sr
     par = jnp.stack([row(jf), row(jdf), row(jdff), row(jda), row(dt)]
                     + [jnp.zeros(B, jnp.float32)] * 3)                # [8, B]
+    # static (trace-time) fact: no caller-supplied offsets — every lane
+    # starts at sample 0, so the lattice pre-shift below is identically 0
+    trivial_shift = g0 is None and g0_jitter is None and lat_shift is None
     if g0 is None:
         g0 = jnp.zeros(B, jnp.int32)
     g0 = jnp.broadcast_to(jnp.asarray(g0, jnp.int32), (B,))
@@ -207,10 +241,16 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
     # floor(t*inc): phase-origin offset + accumulated f32 drift).
     # shifted[w, lane] = orig[w + shift_lane, lane].
     inc_f = jnp.float32(jf)
-    if lat_shift is not None:
+    static_shift = isinstance(lat_shift, tuple)   # trace-time-known shifts
+    if static_shift:
+        sh_np = np.broadcast_to(np.asarray(lat_shift, np.int32), (B,))
+        shift = jnp.asarray(sh_np)
+    elif lat_shift is not None:
         shift = jnp.broadcast_to(jnp.asarray(lat_shift, jnp.int32), (B,))
     else:
         shift = jnp.floor(g0j.astype(jnp.float32) * inc_f).astype(jnp.int32)
+    if trivial_shift:
+        shift = jnp.zeros(B, jnp.int32)    # fold for aux row 1 too
 
     latp = t2(lattice.pitch)                                   # [W, B]
     latf = t3(lattice.formant)                                 # [W, 8, B]
@@ -236,11 +276,28 @@ def build_tables(score: Score, lattice, jparams, sample_rate,
         lata = jnp.concatenate(
             [lata, jnp.broadcast_to(lata[-1:], (Wp - W,) + lata.shape[1:])], 0)
     Wk = Wp if window is None else max(min(int(window), Wp), _MIN_LAT_ROWS)
-    rows_w = jnp.arange(Wk, dtype=jnp.int32)
-    idx = jnp.clip(rows_w[:, None] + shift[None, :], 0, Wp - 1)  # [Wk, B]
-    latp = jnp.take_along_axis(latp, idx, axis=0)
-    latf = jnp.take_along_axis(latf, idx[:, None, :].repeat(8, axis=1), axis=0)
-    lata = jnp.take_along_axis(lata, idx[:, None, :].repeat(8, axis=1), axis=0)
+    if trivial_shift:
+        # Whole-utterance batch path: every lane starts at sample 0, so the
+        # per-lane pre-shift is identically zero and the row gather is the
+        # identity. XLA cannot fold a take_along_axis whose indices are a
+        # (traced) iota — at B=512 the three gathers alone cost 11.6 ms of
+        # the 138 ms program (measured; the kernel is 116.6) — so skip it
+        # at trace time with a static row slice.
+        latp, latf, lata = latp[:Wk], latf[:Wk], lata[:Wk]
+    elif static_shift:
+        # Split path: shifts are per-SEGMENT constants known at trace time
+        # (a tuple marks them static) — S static slices instead of a gather
+        latp = _static_shift_rows(latp, sh_np, Wk)
+        latf = _static_shift_rows(latf, sh_np, Wk)
+        lata = _static_shift_rows(lata, sh_np, Wk)
+    else:
+        rows_w = jnp.arange(Wk, dtype=jnp.int32)
+        idx = jnp.clip(rows_w[:, None] + shift[None, :], 0, Wp - 1)  # [Wk, B]
+        latp = jnp.take_along_axis(latp, idx, axis=0)
+        latf = jnp.take_along_axis(latf, idx[:, None, :].repeat(8, axis=1),
+                                   axis=0)
+        lata = jnp.take_along_axis(lata, idx[:, None, :].repeat(8, axis=1),
+                                   axis=0)
 
     zeros_e = jnp.zeros((score.length.shape[1], B), jnp.float32)
     scal = jnp.stack([
