@@ -132,8 +132,7 @@ def main(force_cpu: bool = False):
         extra["platform"] = "cpu_fallback"
         extra["note"] = ("TPU tunnel unreachable at measurement time; this "
                          "is a host-CPU measurement of the same program. "
-                         "TPU-measured headline: BENCH_r03.json (19550x; "
-                         "r4 in-round remeasure: 22871x)")
+                         "TPU-measured headline: BENCH_r04.json (23034.8x)")
     print(json.dumps({
         "metric": "aggregate_synthesis_throughput_64batch",
         "value": round(realtime, 1),

@@ -95,7 +95,12 @@ def main():
                          "time inside the tunnel window")
     args = ap.parse_args()
 
-    fast_paths = (["fused", "xla_block"] if args.tpu
+    # long-form configs: the gate-relevant set now includes the batched
+    # unsplit kernel and BOTH streaming product paths (round-5 VERDICT
+    # missing #1 — these rode the Q32 carrier through round 4 and had zero
+    # long-form rows; all ride the exact f32 carrier since round 5)
+    fast_paths = (["fused", "fused_unsplit", "stream", "stream_pool",
+                   "xla_block"] if args.tpu
                   else ["fused_interpret", "xla_block"])
     for label, extra, all_paths in CONFIGS:
         if args.only and label not in args.only:

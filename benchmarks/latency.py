@@ -115,21 +115,63 @@ def pool_deadline(args):
         peak = [0]
         lk = threading.Lock()
 
+        catchup_bursts = [0]
+        catchup_blocks = [0]
+
+        def fetch_one(kk, dev):
+            tp = time.perf_counter()
+            a = np.asarray(dev)
+            ta = time.perf_counter()
+            pickups[kk] = tp
+            fetches[kk] = ta - tp
+            avails[kk] = ta
+            assert a.shape == (n, block)
+            with lk:
+                inflight[0] -= 1
+
         def sink_loop():
+            """In-order sink with CATCH-UP BATCHING (VERDICT r4 next #3):
+            when a link stall clears, every overdue block behind it is
+            fetched CONCURRENTLY instead of serially — the tunnel physics
+            table shows 8 concurrent fetches cost ~7 ms each vs ~33 ms
+            serial (docs/SERVING.md), so a drained backlog collapses in one
+            burst and the `queued` miss class (blocks that made their
+            deadline into the queue but waited behind a stall) vanishes.
+            Implementation: a worker that finds more items already queued
+            (the signature of a just-cleared stall) steals the whole
+            backlog, starts each block's device->host copy, and drains them
+            on transient threads."""
             while True:
                 item = inq.get()
                 if item is None:
                     return
-                kk, dev = item
-                tp = time.perf_counter()
-                a = np.asarray(dev)
-                ta = time.perf_counter()
-                pickups[kk] = tp
-                fetches[kk] = ta - tp
-                avails[kk] = ta
-                assert a.shape == (n, block)
-                with lk:
-                    inflight[0] -= 1
+                burst = [item]
+                while True:
+                    try:
+                        nxt = inq.get_nowait()
+                    except _queue.Empty:
+                        break
+                    if nxt is None:       # another worker's stop sentinel:
+                        inq.put(None)     # put it back, stop stealing
+                        break
+                    burst.append(nxt)
+                if len(burst) == 1:
+                    fetch_one(*burst[0])
+                    continue
+                catchup_bursts[0] += 1
+                catchup_blocks[0] += len(burst)
+                for _, dev in burst:      # start every copy first
+                    try:
+                        dev.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                ths = [threading.Thread(target=fetch_one, args=it)
+                       for it in burst[1:]]
+                for th in ths:
+                    th.start()
+                fetch_one(*burst[0])
+                for th in ths:
+                    th.join()
 
         workers = [threading.Thread(target=sink_loop, daemon=True)
                    for _ in range(args.sink_workers)]
@@ -277,6 +319,8 @@ def pool_deadline(args):
             "worst_miss_span_ticks": worst_span,
             "miss_cause": miss_cause,
             "miss_detail": miss_detail,
+            "catchup_bursts": catchup_bursts[0],
+            "catchup_blocks": catchup_blocks[0],
             "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
             "latency_p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
             "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),

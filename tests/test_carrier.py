@@ -100,6 +100,69 @@ def test_fused_split_carrier_matches_xla():
     np.testing.assert_allclose(a[:n], b[:n], atol=2e-5, rtol=0)
 
 
+@needs_native
+def test_inkernel_carrier_matches_host_track():
+    """exact_carrier='kernel' (the in-kernel f32 recurrence, round 5) vs
+    exact_carrier=True's native host track on the same unsplit fused
+    program. The two integrate slightly different frequency streams (the
+    native pre-pass runs the ORACLE's chain — f32 countdown sequencer —
+    while the kernel integrates its own device chain), so agreement is
+    bounded-ulp, not bit: both are exact f32 recurrences with NO drift
+    term, which is what the long-form fidelity rows gate."""
+    kw = dict(voice="plain", language="english")
+    a = synthesize_batch(["hello there"], backend="fused_interpret",
+                         exact_carrier="kernel", **kw)[0]
+    b = synthesize_batch(["hello there"], backend="fused_interpret",
+                         exact_carrier=True, **kw)[0]
+    np.testing.assert_allclose(a, b, atol=5e-5, rtol=0)
+
+
+def test_inkernel_carrier_matches_scan_chain():
+    """The in-kernel recurrence consumes the SAME device frequency chain as
+    the lax.scan reference core (which steps the reference f32 carrier
+    natively), so kcar vs scan isolates the filter implementations'
+    coefficient re-association — a few ulps, duration-independent."""
+    kw = dict(voice="plain", language="english")
+    a = synthesize_batch(["hello there"], backend="fused_interpret",
+                         exact_carrier="kernel", **kw)[0]
+    b = synthesize("hello there", use_scan=True, **kw)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=0)
+
+
+@needs_native
+def test_inkernel_carrier_batched_lanes():
+    """The in-kernel recurrence is per-lane: a multi-utterance batch with
+    distinct texts/seeds must match the per-utterance host-track runs
+    within the bounded-ulp envelope (see above)."""
+    texts = ["hello there", "say hi", "guten tag"]
+    kw = dict(voice="plain", language="english")
+    outs = synthesize_batch(texts, seeds=[0, 1, 2],
+                            backend="fused_interpret",
+                            exact_carrier="kernel", **kw)
+    for t, sd, got in zip(texts, [0, 1, 2], outs):
+        ref = synthesize_batch([t], seeds=[sd], backend="fused_interpret",
+                               exact_carrier=True, **kw)[0]
+        np.testing.assert_allclose(got, ref, atol=5e-5, rtol=0)
+
+
+def test_stream_session_carrier_is_exact():
+    """StreamSession blocks carry the exact f32 carrier in SynthState.phase
+    (round 5): chained session reads match the one-shot in-kernel batch
+    run (same carrier recurrence; xla-core filters vs kernel-loop filters
+    differ only by coefficient re-association ulps)."""
+    from grail_tpu.runtime.stream import StreamSession
+    from grail_tpu.utils import sample_error_db
+
+    batch = synthesize_batch(["hello there"], backend="fused_interpret",
+                             exact_carrier="kernel",
+                             voice="plain", language="english")[0]
+    s = StreamSession(voice="plain", language="english", block=1024)
+    s.feed("hello there")
+    s.flush()
+    stream = s.read(len(batch))
+    assert sample_error_db(stream, batch) < -90
+
+
 def test_split_carrier_preroll_cycle():
     """Segment 0's virtual pre-roll reproduces the Q32 silent-warmup phase
     cycle {0, .25, .5, .75} and the first real sample lands on track[0];
@@ -119,17 +182,26 @@ def test_split_carrier_preroll_cycle():
                                       full[k * Ts: k * Ts + Ts + WARMUP])
 
 
-def test_exact_carrier_true_requires_native(monkeypatch):
-    """exact_carrier=True fails loudly when the pre-pass is unavailable
-    (auto mode silently falls back to Q32 instead)."""
+def test_exact_carrier_without_native(monkeypatch):
+    """Since round 5 exact_carrier=True/'kernel' needs NO native pre-pass:
+    the device f32 recurrence satisfies it on fused (in-kernel) and xla
+    (carrier_scan) alike. The xla device recurrence must agree with the
+    scan core (which steps the same recurrence natively) to filter-impl
+    ulps, and the round-1 pallas backend still fails loudly."""
     import grail_tpu.api as api
     monkeypatch.setattr(api, "_carrier_track_for", lambda *a, **k: None)
-    with pytest.raises(RuntimeError, match="native carrier pre-pass"):
-        synthesize("aeae", voice="generic", language="generic",
-                   backend="xla", exact_carrier=True)
-    # auto: no error, Q32 result
-    out = synthesize("aeae", voice="generic", language="generic",
-                     backend="xla")
+    kw = dict(voice="generic", language="generic")
+    out_x = synthesize("aeae", backend="xla", exact_carrier=True, **kw)
+    out_s = synthesize("aeae", use_scan=True, **kw)
+    np.testing.assert_allclose(out_x, out_s, atol=1e-5, rtol=0)
+    out_k = synthesize("aeae", backend="fused_interpret",
+                       exact_carrier=True, **kw)
+    assert np.isfinite(out_k).all() and len(out_k) > 0
+    with pytest.raises(ValueError, match="carrier"):
+        synthesize_batch(["aeae"], backend="pallas_interpret",
+                         exact_carrier="kernel", **kw)
+    # auto: no error, Q32 result (short utterance)
+    out = synthesize("aeae", backend="xla", **kw)
     assert np.isfinite(out).all() and len(out) > 0
 
 

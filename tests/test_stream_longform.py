@@ -20,9 +20,13 @@ TEXT = ("the quick brown fox jumps over the lazy dog while seventeen "
 
 
 def test_stream_long_form_matches_batch():
-    # the stream core's semantics: xla block core, Q32 carrier
+    # the stream core's semantics: xla block core + the exact f32 reference
+    # carrier (streams carry it in SynthState.phase since round 5). The
+    # batch twin pins the same device recurrence over the same frequency
+    # chain (exact_carrier='kernel' -> carrier_scan), so the comparison
+    # isolates the window-slide/rebase machinery at -90 dB depth.
     batch = synthesize(TEXT, voice="plain", language="english",
-                       backend="xla", exact_carrier=False)
+                       backend="xla", exact_carrier="kernel")
     assert len(batch) >= 60 * 44100
 
     s = StreamSession(voice="plain", language="english", block=4096,
